@@ -1,0 +1,101 @@
+"""Benchmark: full fused feature back-projection throughput on TPU.
+
+Workload mirrors the reference's headline pipeline (backproject.py on
+Mip-NeRF 360 garden @ data_factor=4): garden-resolution images
+(1296x840), 512-d per-pixel features, hundreds of thousands of
+Gaussians. Per view, the measured unit of work is the complete fused
+step: SH render -> 2D encoder -> adjoint accumulation of the 512-d
+feature numerator + weight denominator (which the reference implements
+as 3 CUDA rasterizations + 2 autograd backwards per view).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+``vs_baseline`` is measured views/s over a nominal 2.0 views/s for the
+reference CUDA pipeline per-view cost (the repo publishes no numbers —
+BASELINE.md; 2 views/s is a generous estimate for an A100 running 3
+rasterizations of a ~0.5M-Gaussian scene plus grads at this resolution).
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+NOMINAL_BASELINE_VIEWS_PER_S = 2.0
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--num-gaussians", type=int, default=2**19)
+    ap.add_argument("--width", type=int, default=1296)
+    ap.add_argument("--height", type=int, default=840)
+    ap.add_argument("--feature-dim", type=int, default=512)
+    ap.add_argument("--views", type=int, default=8, help="timed views")
+    ap.add_argument("--quick", action="store_true", help="tiny smoke config")
+    args = ap.parse_args()
+
+    if args.quick:
+        args.num_gaussians, args.width, args.height = 4096, 128, 96
+        args.feature_dim, args.views = 32, 2
+
+    from tpugs.encoders.base import LinearRGBEncoder
+    from tpugs.lift.batch import (
+        backproject_one_view,
+        estimate_sizes,
+        normalize_field,
+    )
+    from tpugs.utils.synthetic import orbit_cameras, random_scene
+
+    scene = random_scene(
+        args.num_gaussians, seed=0, extent=1.0,
+        scale_range=(0.004, 0.02),
+    )
+    cams = orbit_cameras(args.views, args.width, args.height, radius=3.0)
+    encoder = LinearRGBEncoder(feature_dim=args.feature_dim)
+    sizes = estimate_sizes(scene, cams, probe_cameras=2)
+
+    fn = jax.jit(
+        lambda sc, vm, K: backproject_one_view(
+            sc, vm, K, args.width, args.height, encoder, sizes
+        )
+    )
+
+    # Warmup / compile.
+    out = fn(scene, cams.viewmats[0], cams.Ks[0])
+    jax.block_until_ready(out)
+
+    num = jnp.zeros((scene.num_gaussians, args.feature_dim))
+    den = jnp.zeros((scene.num_gaussians,))
+    t0 = time.perf_counter()
+    for c in range(args.views):
+        fs, ws = fn(scene, cams.viewmats[c], cams.Ks[c])
+        num, den = num + fs, den + ws
+    jax.block_until_ready((num, den))
+    dt = time.perf_counter() - t0
+
+    feats = normalize_field(num, den)
+    assert bool(jnp.isfinite(feats).all())
+
+    views_per_s = args.views / dt
+    gaussians_per_s = views_per_s * scene.num_gaussians
+    result = {
+        "metric": "fused_lseg512_backprojection_views_per_s",
+        "value": round(views_per_s, 4),
+        "unit": "views/s",
+        "vs_baseline": round(views_per_s / NOMINAL_BASELINE_VIEWS_PER_S, 4),
+    }
+    print(json.dumps(result))
+    # Secondary detail to stderr-like trailing line (non-contract):
+    print(
+        f"# device={jax.devices()[0].platform} N={scene.num_gaussians} "
+        f"{args.width}x{args.height} D={args.feature_dim} "
+        f"gaussian-splats/s={gaussians_per_s:.3e} "
+        f"sizes={sizes} total_s={dt:.3f}",
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -52,7 +52,7 @@ def random_scene(
 
 def lookat_viewmat(eye, target=(0.0, 0.0, 0.0), up=(0.0, -1.0, 0.0)):
     """World-to-camera viewmat for a camera at `eye` looking at `target`.
-    OpenCV convention: +z forward, +y down."""
+    OpenCV convention: +z forward, +y down. Pure numpy (host-side)."""
     eye = np.asarray(eye, np.float64)
     target = np.asarray(target, np.float64)
     up = np.asarray(up, np.float64)
@@ -64,7 +64,65 @@ def lookat_viewmat(eye, target=(0.0, 0.0, 0.0), up=(0.0, -1.0, 0.0)):
     R_c2w = np.stack([right, down, fwd], axis=1)  # columns
     R_w2c = R_c2w.T
     t = -R_w2c @ eye
-    return np.asarray(make_viewmat(R_w2c.astype(np.float32), t.astype(np.float32)))
+    vm = np.eye(4, dtype=np.float32)
+    vm[:3, :3] = R_w2c
+    vm[:3, 3] = t
+    return vm
+
+
+def write_synthetic_colmap(
+    data_dir: str,
+    cams: Camera,
+    n_points: int = 100,
+    seed: int = 0,
+) -> None:
+    """Write a COLMAP sparse/0 model matching a Camera batch — gives
+    tests a real on-disk dataset in the reference's expected layout."""
+    import os
+
+    from tpugs.io.colmap import (
+        ColmapCamera,
+        ColmapImage,
+        ColmapPoint3D,
+        rotmat_to_qvec,
+        write_sparse_model,
+    )
+
+    K = np.asarray(cams.Ks[0])
+    cameras = {
+        1: ColmapCamera(
+            1,
+            "PINHOLE",
+            cams.width,
+            cams.height,
+            np.array([K[0, 0], K[1, 1], K[0, 2], K[1, 2]], np.float64),
+        )
+    }
+    images = {}
+    for i in range(cams.num_cameras):
+        vm = np.asarray(cams.viewmats[i])
+        images[i + 1] = ColmapImage(
+            i + 1,
+            rotmat_to_qvec(vm[:3, :3]),
+            vm[:3, 3].astype(np.float64),
+            1,
+            f"frame_{i:04d}.jpg",
+            np.zeros((0, 2)),
+            np.zeros((0,), np.int64),
+        )
+    rng = np.random.default_rng(seed)
+    points = {
+        int(j + 1): ColmapPoint3D(
+            int(j + 1),
+            rng.uniform(-1, 1, 3),
+            rng.integers(0, 255, 3).astype(np.uint8),
+            0.5,
+            np.array([1], np.int64),
+            np.array([0], np.int64),
+        )
+        for j in range(n_points)
+    }
+    write_sparse_model(os.path.join(data_dir, "sparse/0"), cameras, images, points)
 
 
 def orbit_cameras(
