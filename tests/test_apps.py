@@ -1,0 +1,93 @@
+"""End-to-end app tests on a synthetic on-disk dataset: the reference's
+demo flow (backproject CLI -> segment CLI) with a synthetic encoder."""
+
+import os
+
+import numpy as np
+
+from tpugs.io.checkpoints import save_scene_pt
+from tpugs.utils.synthetic import (
+    orbit_cameras,
+    random_scene,
+    write_synthetic_colmap,
+)
+
+
+def _make_dataset(tmp_path, n=80, n_cams=3, wh=(64, 48)):
+    scene = random_scene(n, seed=0, extent=0.8, scale_range=(0.02, 0.1))
+    cams = orbit_cameras(n_cams, *wh, radius=2.5)
+    data_dir = str(tmp_path / "data")
+    os.makedirs(data_dir, exist_ok=True)
+    write_synthetic_colmap(data_dir, cams)
+    ckpt = os.path.join(data_dir, "ckpt.pt")
+    save_scene_pt(scene, ckpt)
+    return data_dir, ckpt
+
+
+def test_backproject_then_segment_cli(tmp_path):
+    from tpugs.apps.backproject import main as backproject_main
+    from tpugs.apps.segment import main as segment_main
+
+    data_dir, ckpt = _make_dataset(tmp_path)
+    results = str(tmp_path / "results")
+
+    features = backproject_main(
+        data_dir=data_dir,
+        checkpoint=ckpt,
+        results_dir=results,
+        format="gsplat",
+        data_factor=1,
+        feature="linear:8",
+        batch=False,
+    )
+    assert os.path.exists(os.path.join(results, "features_linear:8.npz"))
+    assert np.isfinite(np.asarray(features)).all()
+
+    mask = segment_main(
+        data_dir=data_dir,
+        checkpoint=ckpt,
+        results_dir=results,
+        format="gsplat",
+        pos_idx="0,1",
+        neg_idx="5,6",
+        data_factor=1,
+        feature="linear:8",
+        export_checkpoint=True,
+    )
+    assert os.path.exists(os.path.join(results, "mask2d.gif"))
+    assert os.path.exists(os.path.join(results, "extracted.gif"))
+    assert os.path.exists(os.path.join(results, "deleted.gif"))
+    assert os.path.exists(os.path.join(results, "extracted.pt"))
+    m = np.asarray(mask)
+    assert m.dtype == bool and 0 < m.sum() < len(m)
+
+
+def test_backproject_batch_mode(tmp_path):
+    from tpugs.apps.backproject import main as backproject_main
+
+    data_dir, ckpt = _make_dataset(tmp_path, n=60, n_cams=2)
+    results = str(tmp_path / "results")
+    f_batch = backproject_main(
+        data_dir=data_dir, checkpoint=ckpt, results_dir=results,
+        format="gsplat", data_factor=1, feature="linear:8",
+        batch=True, skip_prune=True,
+    )
+    f_loop = backproject_main(
+        data_dir=data_dir, checkpoint=ckpt, results_dir=results,
+        format="gsplat", data_factor=1, feature="linear:8",
+        batch=False, skip_prune=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(f_batch), np.asarray(f_loop), atol=1e-4
+    )
+
+
+def test_cli_parser():
+    from tpugs.utils.cli import cli
+
+    def fn(a: int = 3, name: str = "x", flag: bool = False):
+        return a, name, flag
+
+    assert cli(fn, []) == (3, "x", False)
+    assert cli(fn, ["--a", "7", "--flag"]) == (7, "x", True)
+    assert cli(fn, ["--name", "hi", "--no-flag"]) == (3, "hi", False)

@@ -1,0 +1,91 @@
+"""CLI: open-vocabulary 3D segmentation + scene editing + GIF outputs.
+
+Counterpart of the reference ``segment.py:261-311``: load + prune +
+verify, load lifted features, build a text-query 3D mask, emit
+mask-overlay / extracted / deleted GIFs, optionally export edited
+checkpoints.
+
+Text queries need a CLIP text tower; with the ``linear``/``grayscale``
+synthetic encoders, queries are supplied as exemplar Gaussian indices
+(``--pos-idx`` / ``--neg-idx``) instead of prompts.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def main(
+    data_dir: str = "./data/garden",
+    checkpoint: str = "./data/garden/ckpts/ckpt_29999_rank0.pt",
+    results_dir: str = "./results/garden",
+    format: str = "gsplat",
+    prompt: str = "Table",
+    neg_prompt: str = "Vase;Other",
+    pos_idx: str = "",
+    neg_idx: str = "",
+    data_factor: int = 4,
+    feature: str = "lseg",
+    export_checkpoint: bool = False,
+    skip_prune: bool = False,
+):
+    from tpugs.io.checkpoints import load_checkpoint, save_checkpoint
+    from tpugs.lift.prune import prune_by_gradients, verify_pruning_equivalence
+    from tpugs.query.masks import apply_mask3d
+    from tpugs.query.text import get_mask3d
+    from tpugs.viz.gif import render_mask_2d_to_gif, render_to_gif
+
+    os.makedirs(results_dir, exist_ok=True)
+    scene, cams, _ = load_checkpoint(checkpoint, data_dir, format, data_factor)
+    if not skip_prune:
+        pruned = prune_by_gradients(scene, cams)
+        verify_pruning_equivalence(scene, pruned, cams)
+        scene = pruned
+
+    feats = np.load(os.path.join(results_dir, f"features_{feature}.npz"))[
+        "features"
+    ]
+    features = jnp.asarray(feats)
+
+    if pos_idx:
+        pos_q = features[jnp.asarray([int(i) for i in pos_idx.split(",")])]
+        neg_q = (
+            features[jnp.asarray([int(i) for i in neg_idx.split(",")])]
+            if neg_idx
+            else -pos_q
+        )
+    else:
+        from tpugs.encoders.lseg import encode_text
+
+        pos_q = encode_text(prompt.split(";"))
+        neg_q = encode_text(neg_prompt.split(";"))
+
+    mask3d, mask3d_inv = get_mask3d(features, pos_q, neg_q)
+    extracted, deleted, _ = apply_mask3d(scene, mask3d, mask3d_inv)
+
+    render_mask_2d_to_gif(
+        scene, features, pos_q, neg_q, cams,
+        os.path.join(results_dir, "mask2d.gif"),
+    )
+    render_to_gif(
+        os.path.join(results_dir, "extracted.gif"),
+        extracted, cams, use_checkerboard_background=True,
+    )
+    render_to_gif(os.path.join(results_dir, "deleted.gif"), deleted, cams)
+
+    if export_checkpoint:
+        save_checkpoint(extracted, os.path.join(results_dir, "extracted.pt"))
+        save_checkpoint(deleted, os.path.join(results_dir, "deleted.pt"))
+    print(
+        f"mask: {int(mask3d.sum())}/{scene.num_gaussians} Gaussians selected"
+    )
+    return mask3d
+
+
+if __name__ == "__main__":
+    from tpugs.utils.cli import cli
+
+    cli(main)
