@@ -1,0 +1,123 @@
+"""Pallas kernel correctness vs the pure-JAX tiled path (interpret mode
+on CPU; the same kernels compile for real on TPU — exercised by bench)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpugs.raster.api import plan_render, rasterize_with_plan
+from tpugs.raster.pallas_tiled import (
+    backproject_view_pallas,
+    build_pallas_plan,
+    render_view_pallas,
+)
+from tpugs.lift.ops import accumulate_view
+from tpugs.utils.synthetic import orbit_cameras, random_scene
+
+W, H = 64, 48
+
+
+def _setup(n=200, seed=0):
+    scene = random_scene(n, seed=seed, extent=0.8, scale_range=(0.02, 0.1))
+    cams = orbit_cameras(2, W, H, radius=2.5)
+    return scene, cams
+
+
+def _args(scene):
+    return scene.means, scene.quats, scene.scales, scene.opacities
+
+
+def test_pallas_plan_slot_table():
+    """Every real intersection appears exactly once in the slot table,
+    at a position inside its tile's padded span."""
+    scene, cams = _setup(n=100)
+    plan = build_pallas_plan(*_args(scene), cams.viewmats[0], cams.Ks[0], W, H)
+    slots = np.asarray(plan.slots)
+    valid = slots < plan.T_padded
+    real = slots[valid]
+    assert len(real) == len(np.unique(real)), "slot collisions"
+    ps = np.asarray(plan.padded_starts)
+    starts = np.asarray(plan.tile_starts)
+    ends = np.asarray(plan.tile_ends)
+    n_real = int((ends - starts).sum())
+    assert valid.sum() == n_real, "slot count != intersection count"
+
+
+@pytest.mark.parametrize("cam_idx", [0, 1])
+def test_pallas_render_matches_tiled(cam_idx):
+    scene, cams = _setup()
+    vm, K = cams.viewmats[cam_idx], cams.Ks[cam_idx]
+    colors = jnp.abs(scene.sh0[:, 0, :])
+
+    plan_ref = plan_render(*_args(scene), vm, K, W, H)
+    img_ref, alpha_ref = rasterize_with_plan(
+        *_args(scene), colors, vm, K, plan_ref
+    )
+    plan = build_pallas_plan(*_args(scene), vm, K, W, H)
+    img, alpha = render_view_pallas(
+        *_args(scene), colors, vm, K, plan, interpret=True
+    )
+    # early-exit threshold allows 1e-4-level differences
+    np.testing.assert_allclose(
+        np.asarray(img), np.asarray(img_ref), atol=3e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(alpha), np.asarray(alpha_ref), atol=3e-4
+    )
+
+
+def test_pallas_render_sh_and_depth():
+    scene, cams = _setup(n=120)
+    vm, K = cams.viewmats[0], cams.Ks[0]
+    plan_ref = plan_render(*_args(scene), vm, K, W, H)
+    img_ref, _ = rasterize_with_plan(
+        *_args(scene), scene.colors_all, vm, K, plan_ref,
+        sh_degree=3, render_mode="RGB+D",
+    )
+    plan = build_pallas_plan(*_args(scene), vm, K, W, H)
+    img, _ = render_view_pallas(
+        *_args(scene), scene.colors_all, vm, K, plan,
+        sh_degree=3, render_mode="RGB+D", interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(img), np.asarray(img_ref), atol=5e-4)
+
+
+def test_pallas_adjoint_matches_jax():
+    scene, cams = _setup(n=150)
+    vm, K = cams.viewmats[0], cams.Ks[0]
+    D = 20
+    rng = np.random.default_rng(2)
+    feats = jnp.asarray(rng.normal(size=(H, W, D)).astype(np.float32))
+
+    fs_ref, ws_ref = accumulate_view(scene, vm, K, W, H, feat_image=feats)
+
+    plan = build_pallas_plan(*_args(scene), vm, K, W, H)
+    fs, ws = backproject_view_pallas(
+        *_args(scene), feats, vm, K, plan, d_chunk=16, interpret=True,
+        trans_eps=0.0,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ws), np.asarray(ws_ref), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(fs), np.asarray(fs_ref), atol=1e-4
+    )
+
+
+def test_pallas_adjoint_channel_chunking_consistent():
+    scene, cams = _setup(n=80)
+    vm, K = cams.viewmats[0], cams.Ks[0]
+    D = 24
+    feats = jnp.asarray(
+        np.random.default_rng(0).normal(size=(H, W, D)).astype(np.float32)
+    )
+    plan = build_pallas_plan(*_args(scene), vm, K, W, H)
+    fs1, ws1 = backproject_view_pallas(
+        *_args(scene), feats, vm, K, plan, d_chunk=8, interpret=True
+    )
+    fs2, ws2 = backproject_view_pallas(
+        *_args(scene), feats, vm, K, plan, d_chunk=32, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(fs1), np.asarray(fs2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ws1), np.asarray(ws2), atol=1e-5)

@@ -1,0 +1,806 @@
+"""Pallas TPU kernels: fused tile rasterization + adjoint back-projection.
+
+Why these exist: the pure-JAX tiled path (``tiled.py``/``adjoint.py``)
+is HBM-bound — every (tiles, block, pixels) intermediate round-trips to
+HBM, per-block parameter gathers serialize, and XLA lowers the
+per-Gaussian scatter-add as a sequential loop (measured ~4.6 s/view at
+garden scale). These kernels fuse the whole per-tile pipeline in VMEM
+and eliminate gathers/scatters from the hot loop entirely:
+
+  * per-view, parameters are **pre-gathered once** into intersection
+    order (XLA gather), laid out transposed so a block DMA lands each
+    parameter as a (1, 128) lane vector;
+  * the kernel walks each tile's contiguous span with async DMA,
+    computing alpha/transmittance/weights on the VPU with pixels on
+    sublanes (256) and Gaussians on lanes (128); the prefix-product
+    transmittance is 7 lane-roll doubling steps;
+  * color/feature accumulation is an MXU matmul per block;
+  * tiles early-exit once transmittance saturates (< 1e-4);
+  * the adjoint writes per-intersection contribution rows to a
+    **block-padded contiguous layout** (plain DMA, no scatter); the
+    per-Gaussian reduction is then an XLA *gather* over a precomputed
+    (N, max_cover) slot table — scatter-free end to end, the
+    "segmented reductions instead of CUDA atomics" design from
+    SURVEY §7 / BASELINE.json.
+
+Reference equivalence: kernel output matches ``render_tiled`` /
+``backproject_tiled`` (and therefore the naive oracle + autodiff) up to
+the early-exit threshold; see tests/test_pallas.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpugs.raster.binning import bucket, build_tile_binning, cdiv, tile_grid
+from tpugs.raster.projection import (
+    Projected,
+    ProjectionConfig,
+    project,
+)
+
+BLOCK = 128  # Gaussians per block (lane dimension)
+ALPHA_MIN = 1.0 / 255.0
+ALPHA_MAX = 0.999
+TRANS_EPS = 1e-4  # early-exit transmittance threshold
+
+
+def _pytree_dataclass(cls):
+    return jax.tree_util.register_dataclass(dataclasses.dataclass(frozen=True)(cls))
+
+
+_STATIC = dict(static=True)
+
+
+@_pytree_dataclass
+class PallasPlan:
+    """Per-(scene, camera) static-shaped plan for the Pallas kernels."""
+
+    order: jax.Array  # (N,) depth permutation
+    sorted_gid: jax.Array  # (K_pad,) compact isect list (sentinel = N)
+    tile_starts: jax.Array  # (n_tiles,) int32 into the compact list
+    tile_ends: jax.Array  # (n_tiles,)
+    padded_starts: jax.Array  # (n_tiles,) block-padded output offsets
+    slots: jax.Array  # (N, cover_pad) padded-contrib slot per cover, or
+    #                    T_padded (dummy zero row) for unused covers
+    width: int = dataclasses.field(metadata=_STATIC, default=0)
+    height: int = dataclasses.field(metadata=_STATIC, default=0)
+    tile_size: int = dataclasses.field(metadata=_STATIC, default=16)
+    K_pad: int = dataclasses.field(metadata=_STATIC, default=0)
+    T_padded: int = dataclasses.field(metadata=_STATIC, default=0)
+    cover_pad: int = dataclasses.field(metadata=_STATIC, default=0)
+
+
+# --------------------------------------------------------------- planning
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tile_size", "width", "height", "max_cover")
+)
+def _plan_stats(proj: Projected, tile_size, width, height, max_cover):
+    """Concrete sizes needed to bucket the static dims."""
+    binning = build_tile_binning(proj, tile_size, width, height, max_cover)
+    spans = binning.tile_starts[1:] - binning.tile_starts[:-1]
+    t_padded = jnp.sum(cdiv_arr(spans, BLOCK)) * BLOCK
+    return binning.n_isects, t_padded, binning.max_cover_req
+
+
+def cdiv_arr(a, b):
+    return -(-a // b)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "tile_size",
+        "width",
+        "height",
+        "max_cover",
+        "K_pad",
+        "T_padded",
+        "cover_pad",
+    ),
+)
+def _plan_build(
+    proj: Projected,
+    tile_size,
+    width,
+    height,
+    max_cover,
+    K_pad,
+    T_padded,
+    cover_pad,
+):
+    n = proj.means2d.shape[0]
+    ntx, nty = tile_grid(width, height, tile_size)
+    n_tiles = ntx * nty
+
+    # Re-run the binning, this time keeping the expansion index so the
+    # inverse permutation (expansion entry -> sorted position) is known.
+    from tpugs.raster.binning import tile_bbox
+
+    depth_key = jnp.where(proj.valid, proj.depths, jnp.inf)
+    order = jnp.argsort(depth_key)
+    m2d = proj.means2d[order]
+    radii = proj.radii[order]
+    valid = proj.valid[order]
+    tx0, ty0, tx1, ty1 = tile_bbox(m2d, radii, valid, tile_size, ntx, nty)
+    w = tx1 - tx0
+    h = ty1 - ty0
+    cnt = w * h
+    j = jnp.arange(max_cover, dtype=jnp.int32)
+    w_safe = jnp.maximum(w, 1)
+    jx = j[None, :] % w_safe[:, None]
+    jy = j[None, :] // w_safe[:, None]
+    slot_valid = j[None, :] < cnt[:, None]
+    tid = (ty0[:, None] + jy) * ntx + (tx0[:, None] + jx)
+    tid = jnp.where(slot_valid, tid, n_tiles).astype(jnp.int32)
+    gid = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None], (n, max_cover))
+    gid = jnp.where(slot_valid, gid, n).astype(jnp.int32)
+
+    eidx = jnp.arange(n * max_cover, dtype=jnp.int32)
+    tid_s, gid_s, eidx_s = jax.lax.sort(
+        (tid.reshape(-1), gid.reshape(-1), eidx), num_keys=2, is_stable=False
+    )
+    tile_starts_full = jnp.searchsorted(
+        tid_s, jnp.arange(n_tiles + 1, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)
+    spans = tile_starts_full[1:] - tile_starts_full[:-1]
+    padded_spans = cdiv_arr(spans, BLOCK) * BLOCK
+    padded_starts = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(padded_spans)[:-1].astype(jnp.int32)]
+    )
+
+    # Slot table: sorted position s holds expansion entry eidx_s[s];
+    # its padded output position is padded_starts[tile] + (s - start).
+    s_idx = jnp.arange(tid_s.shape[0], dtype=jnp.int32)
+    tile_of_s = jnp.minimum(tid_s, n_tiles - 1)
+    pos = padded_starts[tile_of_s] + (s_idx - tile_starts_full[tile_of_s])
+    pos = jnp.where(tid_s < n_tiles, pos, T_padded)  # sentinel -> dummy row
+    slots_flat = jnp.zeros((n * max_cover,), jnp.int32).at[eidx_s].set(
+        pos, unique_indices=True
+    )
+    slots = slots_flat.reshape(n, max_cover)[:, :cover_pad]
+
+    sorted_gid = gid_s[:K_pad]
+    return PallasPlan(
+        order=order,
+        sorted_gid=sorted_gid,
+        tile_starts=tile_starts_full[:-1],
+        tile_ends=tile_starts_full[1:],
+        padded_starts=padded_starts,
+        slots=slots,
+        width=width,
+        height=height,
+        tile_size=tile_size,
+        K_pad=K_pad,
+        T_padded=T_padded,
+        cover_pad=cover_pad,
+    )
+
+
+def build_pallas_plan(
+    means,
+    quats,
+    scales,
+    opacities,
+    viewmat,
+    K,
+    width: int,
+    height: int,
+    proj_config: ProjectionConfig = ProjectionConfig(),
+    tile_size: int = 16,
+) -> PallasPlan:
+    """Host-orchestrated plan construction with power-of-two bucketing."""
+    from tpugs.raster.api import _cover_stats_jit, _project_jit
+
+    proj = _project_jit(
+        means, quats, scales, opacities, viewmat, K, width, height, proj_config
+    )
+    cover_req = int(_cover_stats_jit(proj, tile_size, width, height))
+    max_cover = bucket(cover_req)
+    n_isects, t_padded, _ = jax.tree_util.tree_map(
+        int, _plan_stats(proj, tile_size, width, height, max_cover)
+    )
+    K_pad = bucket(max(n_isects, BLOCK))
+    T_padded = bucket(max(int(t_padded), BLOCK))
+    cover_pad = min(max_cover, 8 * cdiv(cover_req, 8) if cover_req > 0 else 8)
+    cover_pad = max(cover_pad, 1)
+    return _plan_build(
+        proj,
+        tile_size,
+        width,
+        height,
+        max_cover,
+        K_pad,
+        T_padded,
+        cover_pad,
+    )
+
+
+# -------------------------------------------------------- param packing
+
+
+def pack_isect_params(proj: Projected, plan: PallasPlan):
+    """Pre-gather per-intersection geometry, transposed: (8, K_pad) with
+    rows [mx, my, conic_a, conic_b, conic_c, opacity, depth, pad]."""
+    order = plan.order
+    opac = jnp.where(proj.valid, proj.opacities, 0.0)
+    packed = jnp.stack(
+        [
+            proj.means2d[order, 0],
+            proj.means2d[order, 1],
+            proj.conics[order, 0],
+            proj.conics[order, 1],
+            proj.conics[order, 2],
+            opac[order],
+            proj.depths[order],
+            jnp.zeros_like(opac),
+        ],
+        axis=1,
+    )  # (N, 8)
+    dummy = jnp.zeros((1, 8), packed.dtype)
+    packed = jnp.concatenate([packed, dummy], axis=0)  # (N+1, 8)
+    # Row gather (fast on TPU), then one transpose to the lane-major
+    # layout the kernel DMAs from. Padded by one block so the last
+    # tiles' block DMA [start, start+BLOCK) never reads out of bounds
+    # (XLA clamps OOB dynamic slices, which would silently shift data).
+    g = jnp.transpose(packed[plan.sorted_gid])  # (8, K_pad)
+    return jnp.concatenate([g, jnp.zeros((8, BLOCK), g.dtype)], axis=1)
+
+
+def pack_isect_colors(colors: jax.Array, depths: jax.Array, plan: PallasPlan):
+    """(K_pad, 8) color rows [c0..cD-1, depth, 0...] in isect order
+    (Gaussians on sublanes — ready for the (256,128)@(128,8) matmul)."""
+    n, d = colors.shape
+    cols = jnp.concatenate(
+        [
+            colors[plan.order],
+            depths[plan.order][:, None],
+            jnp.zeros((n, 8 - d - 1), colors.dtype),
+        ],
+        axis=1,
+    )
+    cols = jnp.concatenate([cols, jnp.zeros((1, 8), cols.dtype)], axis=0)
+    out = cols[plan.sorted_gid]  # (K_pad, 8)
+    # Same one-block pad as pack_isect_params (see comment there).
+    return jnp.concatenate([out, jnp.zeros((BLOCK, 8), out.dtype)], axis=0)
+
+
+# ------------------------------------------------------------- kernels
+
+
+def _lane_prefix_prod(x):
+    """Inclusive cumprod along the lane axis (axis=1, width 128) via 7
+    doubling steps of roll+mask-multiply."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    p = x
+    for k in (1, 2, 4, 8, 16, 32, 64):
+        shifted = pltpu.roll(p, k, 1)
+        shifted = jnp.where(lane < k, 1.0, shifted)
+        p = p * shifted
+    return p
+
+
+def _shift_one(x):
+    """Exclusive shift along lanes: out[:, i] = x[:, i-1], out[:, 0] = 1."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    s = pltpu.roll(x, 1, 1)
+    return jnp.where(lane < 1, 1.0, s)
+
+
+def _block_weights(geom, px_x, px_y, trans, lane_valid):
+    """Blend weights for one block.
+
+    geom: (8, BLOCK) transposed params; px_x/px_y: (tspx, 1);
+    trans: (tspx, 1) carry. Returns (w (tspx, BLOCK), new_trans)."""
+    mx = geom[0:1, :]
+    my = geom[1:2, :]
+    ca = geom[2:3, :]
+    cb = geom[3:4, :]
+    cc = geom[4:5, :]
+    op = geom[5:6, :]
+    dx = px_x - mx  # (tspx, BLOCK)
+    dy = px_y - my
+    sigma = 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
+    alpha = op * jnp.exp(-jnp.maximum(sigma, 0.0))
+    alpha = jnp.minimum(alpha, ALPHA_MAX)
+    alpha = jnp.where(sigma >= 0.0, alpha, 0.0)
+    alpha = jnp.where(alpha >= ALPHA_MIN, alpha, 0.0)
+    alpha = jnp.where(lane_valid, alpha, 0.0)
+    om = 1.0 - alpha
+    inclusive = _lane_prefix_prod(om)
+    texc = _shift_one(inclusive)
+    w = alpha * texc * trans
+    new_trans = trans * inclusive[:, BLOCK - 1 :]
+    return w, new_trans
+
+
+def _tile_pixels(t, ntx: int, ts: int, tspx: int):
+    """Pixel-center coordinates of tile t as (tspx, 1) columns."""
+    tx = (t % ntx).astype(jnp.float32)
+    ty = (t // ntx).astype(jnp.float32)
+    lp = jax.lax.broadcasted_iota(jnp.int32, (tspx, 1), 0)
+    lx = (lp % ts).astype(jnp.float32)
+    ly = (lp // ts).astype(jnp.float32)
+    return tx * ts + lx + 0.5, ty * ts + ly + 0.5
+
+
+def _make_render_kernel(ntx: int, ts: int, n_out: int, trans_eps: float):
+    tspx = ts * ts
+
+    def kernel(
+        starts_ref,
+        ends_ref,
+        geom_hbm,
+        cols_hbm,
+        img_ref,
+        gbuf,
+        cbuf,
+        gsem,
+        csem,
+    ):
+        t = pl.program_id(0)
+        start = starts_ref[t]
+        end = ends_ref[t]
+        nb = (end - start + BLOCK - 1) // BLOCK
+        px_x, px_y = _tile_pixels(t, ntx, ts, tspx)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (tspx, BLOCK), 1)
+
+        def fetch(slot, b):
+            g = pltpu.make_async_copy(
+                geom_hbm.at[:, pl.ds(start + b * BLOCK, BLOCK)],
+                gbuf.at[slot],
+                gsem.at[slot],
+            )
+            c = pltpu.make_async_copy(
+                cols_hbm.at[pl.ds(start + b * BLOCK, BLOCK), :],
+                cbuf.at[slot],
+                csem.at[slot],
+            )
+            g.start()
+            c.start()
+            return g, c
+
+        @pl.when(nb > 0)
+        def _():
+            fetch(0, 0)
+
+        def cond(carry):
+            b, _, max_t = carry
+            return jnp.logical_and(b < nb, max_t > trans_eps)
+
+        def body(carry):
+            b, img_trans, _ = carry
+            img, trans = img_trans
+            slot = jax.lax.rem(b, 2)
+            # Prefetch next block into the other slot.
+            @pl.when(b + 1 < nb)
+            def _():
+                fetch(1 - slot, b + 1)
+
+            pltpu.make_async_copy(
+                geom_hbm.at[:, pl.ds(start + b * BLOCK, BLOCK)],
+                gbuf.at[slot],
+                gsem.at[slot],
+            ).wait()
+            pltpu.make_async_copy(
+                cols_hbm.at[pl.ds(start + b * BLOCK, BLOCK), :],
+                cbuf.at[slot],
+                csem.at[slot],
+            ).wait()
+
+            remaining = end - start - b * BLOCK
+            lane_valid = lane < remaining
+            w, trans = _block_weights(gbuf[slot], px_x, px_y, trans, lane_valid)
+            img = img + jax.lax.dot_general(
+                w,
+                cbuf[slot][:, :n_out],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return b + 1, (img, trans), jnp.max(trans)
+
+        img0 = jnp.zeros((tspx, n_out), jnp.float32)
+        trans0 = jnp.ones((tspx, 1), jnp.float32)
+        _, (img, trans), _ = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), (img0, trans0), jnp.float32(1.0))
+        )
+        img_ref[0, :, :n_out] = img
+        img_ref[0, :, n_out:] = 1.0 - trans  # alpha channel
+
+    return kernel
+
+
+def render_pallas_raw(
+    geom: jax.Array,  # (8, K_pad) from pack_isect_params
+    cols: jax.Array,  # (K_pad, 8) from pack_isect_colors
+    plan: PallasPlan,
+    n_out: int = 4,  # channels of cols actually used (rgb+depth)
+    interpret: bool = False,
+    trans_eps: float = TRANS_EPS,
+):
+    """Per-tile images (n_tiles, tspx, n_out + 1 alpha)."""
+    ntx, nty = tile_grid(plan.width, plan.height, plan.tile_size)
+    n_tiles = ntx * nty
+    ts = plan.tile_size
+    tspx = ts * ts
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tspx, n_out + 1), lambda t, s, e: (t, 0, 0)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, 8, BLOCK), jnp.float32),
+            pltpu.VMEM((2, BLOCK, 8), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        _make_render_kernel(ntx, ts, n_out, trans_eps),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, tspx, n_out + 1), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(plan.tile_starts, plan.tile_ends, geom, cols)
+    return out
+
+
+def tiles_to_image(tiles: jax.Array, width: int, height: int, tile_size: int):
+    """(n_tiles, ts*ts, C) -> (H, W, C)."""
+    ntx, nty = tile_grid(width, height, tile_size)
+    ts = tile_size
+    c = tiles.shape[-1]
+    t = tiles.reshape(nty, ntx, ts, ts, c)
+    t = jnp.transpose(t, (0, 2, 1, 3, 4))
+    return t.reshape(nty * ts, ntx * ts, c)[:height, :width]
+
+
+def _make_adjoint_kernel(ntx: int, ts: int, d_chunk: int, with_wsum: bool, trans_eps: float):
+    tspx = ts * ts
+
+    def kernel(
+        starts_ref,
+        ends_ref,
+        pstarts_ref,
+        geom_hbm,
+        feat_ref,  # (1, tspx, d_chunk) VMEM (blocked per tile)
+        contrib_hbm,  # (T_padded + pad, d_chunk) ANY
+        wsum_hbm,  # (T_padded + pad, 8) ANY (only used if with_wsum)
+        gbuf,
+        obuf,
+        wbuf,
+        gsem,
+        osem,
+        wsem,
+    ):
+        t = pl.program_id(0)
+        start = starts_ref[t]
+        end = ends_ref[t]
+        pstart = pstarts_ref[t]
+        nb = (end - start + BLOCK - 1) // BLOCK
+        px_x, px_y = _tile_pixels(t, ntx, ts, tspx)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (tspx, BLOCK), 1)
+        feats = feat_ref[0]  # (tspx, d_chunk)
+
+        def fetch(slot, b):
+            pltpu.make_async_copy(
+                geom_hbm.at[:, pl.ds(start + b * BLOCK, BLOCK)],
+                gbuf.at[slot],
+                gsem.at[slot],
+            ).start()
+
+        @pl.when(nb > 0)
+        def _():
+            fetch(0, 0)
+
+        def flush(slot, b, contrib, wsum):
+            obuf[slot] = contrib
+            pltpu.make_async_copy(
+                obuf.at[slot],
+                contrib_hbm.at[pl.ds(pstart + b * BLOCK, BLOCK), :],
+                osem.at[slot],
+            ).start()
+            if with_wsum:
+                wbuf[slot] = wsum
+                pltpu.make_async_copy(
+                    wbuf.at[slot],
+                    wsum_hbm.at[pl.ds(pstart + b * BLOCK, BLOCK), :],
+                    wsem.at[slot],
+                ).start()
+
+        def wait_flush(slot, b):
+            pltpu.make_async_copy(
+                obuf.at[slot],
+                contrib_hbm.at[pl.ds(pstart + b * BLOCK, BLOCK), :],
+                osem.at[slot],
+            ).wait()
+            if with_wsum:
+                pltpu.make_async_copy(
+                    wbuf.at[slot],
+                    wsum_hbm.at[pl.ds(pstart + b * BLOCK, BLOCK), :],
+                    wsem.at[slot],
+                ).wait()
+
+        def cond(carry):
+            b, _, max_t = carry
+            return jnp.logical_and(b < nb, max_t > trans_eps)
+
+        def body(carry):
+            b, trans, _ = carry
+            slot = jax.lax.rem(b, 2)
+
+            @pl.when(b + 1 < nb)
+            def _():
+                fetch(1 - slot, b + 1)
+
+            pltpu.make_async_copy(
+                geom_hbm.at[:, pl.ds(start + b * BLOCK, BLOCK)],
+                gbuf.at[slot],
+                gsem.at[slot],
+            ).wait()
+
+            remaining = end - start - b * BLOCK
+            lane_valid = lane < remaining
+            w, trans = _block_weights(gbuf[slot], px_x, px_y, trans, lane_valid)
+
+            # contrib (BLOCK, d_chunk) = w^T @ feats
+            contrib = jax.lax.dot_general(
+                w,
+                feats,
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            wsum = None
+            if with_wsum:
+                # (BLOCK, 8) columns all equal to the pixel-sum of w —
+                # computed on the MXU to stay 2D-shaped.
+                wsum = jax.lax.dot_general(
+                    w,
+                    jnp.ones((tspx, 8), jnp.float32),
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+
+            # Wait for the previous flush on this slot before reuse.
+            @pl.when(b >= 2)
+            def _():
+                wait_flush(slot, b - 2)
+
+            flush(slot, b, contrib, wsum)
+            return b + 1, trans, jnp.max(trans)
+
+        trans0 = jnp.ones((tspx, 1), jnp.float32)
+        b_stop, _, _ = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), trans0, jnp.float32(1.0))
+        )
+
+        # Zero-fill any blocks skipped by early exit so the padded layout
+        # stays dense (their weights are < TRANS_EPS).
+        def zcond(carry):
+            return carry[0] < nb
+
+        def zbody(carry):
+            b, _ = carry
+            slot = jax.lax.rem(b, 2)
+
+            @pl.when(b >= 2)
+            def _():
+                wait_flush(slot, b - 2)
+
+            flush(
+                slot,
+                b,
+                jnp.zeros((BLOCK, d_chunk), jnp.float32),
+                jnp.zeros((BLOCK, 8), jnp.float32) if with_wsum else None,
+            )
+            return b + 1, 0
+
+        jax.lax.while_loop(zcond, zbody, (b_stop, 0))
+
+        # Drain outstanding flushes.
+        @pl.when(nb >= 2)
+        def _():
+            wait_flush(jax.lax.rem(nb - 2, 2), nb - 2)
+
+        @pl.when(nb >= 1)
+        def _():
+            wait_flush(jax.lax.rem(nb - 1, 2), nb - 1)
+
+    return kernel
+
+
+def adjoint_pallas_raw(
+    geom: jax.Array,  # (8, K_pad)
+    feat_tiles: jax.Array,  # (n_tiles, tspx, d_chunk)
+    plan: PallasPlan,
+    with_wsum: bool = True,
+    interpret: bool = False,
+    trans_eps: float = TRANS_EPS,
+):
+    """Per-intersection contributions (T_padded + 1, d_chunk) plus
+    weight sums (T_padded + 1,). The extra row is the zero dummy row
+    that unused slot-table entries point to."""
+    ntx, nty = tile_grid(plan.width, plan.height, plan.tile_size)
+    n_tiles = ntx * nty
+    ts = plan.tile_size
+    tspx = ts * ts
+    d_chunk = feat_tiles.shape[-1]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(
+                (1, tspx, d_chunk), lambda t, *_: (t, 0, 0)
+            ),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, 8, BLOCK), jnp.float32),
+            pltpu.VMEM((2, BLOCK, d_chunk), jnp.float32),
+            pltpu.VMEM((2, BLOCK, 8), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    contribs, wsums = pl.pallas_call(
+        _make_adjoint_kernel(ntx, ts, d_chunk, with_wsum, trans_eps),
+        out_shape=(
+            jax.ShapeDtypeStruct((plan.T_padded + BLOCK, d_chunk), jnp.float32),
+            jax.ShapeDtypeStruct((plan.T_padded + BLOCK, 8), jnp.float32),
+        ),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(plan.tile_starts, plan.tile_ends, plan.padded_starts, geom, feat_tiles)
+    return contribs, wsums[:, 0]
+
+
+def reduce_contribs(
+    contribs: jax.Array,  # (T_padded + pad, D)
+    wsums: Optional[jax.Array],  # (T_padded + pad,)
+    plan: PallasPlan,
+) -> Tuple[jax.Array, Optional[jax.Array]]:
+    """Per-Gaussian sums via the slot-table gather (no scatter).
+    Returns arrays in ORIGINAL Gaussian order."""
+    slots = plan.slots  # (N, cover_pad) — values in [0, T_padded]
+    valid = slots < plan.T_padded
+    safe = jnp.minimum(slots, contribs.shape[0] - 1)
+    gathered = jnp.where(valid[..., None], contribs[safe], 0.0)
+    feat_sums_d = jnp.sum(gathered, axis=1)  # (N, D)
+    n = slots.shape[0]
+    inv = jnp.zeros((n,), jnp.int32).at[plan.order].set(
+        jnp.arange(n, dtype=jnp.int32)
+    )
+    feat_sums = feat_sums_d[inv]
+    weight_sums = None
+    if wsums is not None:
+        weight_sums = jnp.sum(jnp.where(valid, wsums[safe], 0.0), axis=1)[inv]
+    return feat_sums, weight_sums
+
+
+# ------------------------------------------------------- high-level API
+
+
+def render_view_pallas(
+    means,
+    quats,
+    scales,
+    opacities,
+    colors,  # (N, 3) direct colors or (N, K, 3) SH coeffs
+    viewmat,
+    K,
+    plan: PallasPlan,
+    sh_degree: Optional[int] = None,
+    render_mode: str = "RGB",
+    background: Optional[jax.Array] = None,
+    proj_config: ProjectionConfig = ProjectionConfig(),
+    interpret: bool = False,
+    trans_eps: float = TRANS_EPS,
+) -> Tuple[jax.Array, jax.Array]:
+    """Fast fused render for one camera. Returns (image (H,W,C), alpha)."""
+    from tpugs.raster.api import _prepare_colors
+
+    proj = project(
+        means, quats, scales, opacities, viewmat, K,
+        plan.width, plan.height, proj_config,
+    )
+    cols3 = _prepare_colors(means, colors, viewmat, sh_degree)
+    geom = pack_isect_params(proj, plan)
+    packed_cols = pack_isect_colors(cols3, proj.depths, plan)
+
+    want_rgb = render_mode in ("RGB", "RGB+D", "RGB+ED")
+    want_depth = render_mode in ("RGB+D", "RGB+ED", "D", "ED")
+    n_out = 4  # rgb + depth always computed (cheap; sliced below)
+
+    tiles = render_pallas_raw(geom, packed_cols, plan, n_out, interpret, trans_eps)
+    img_full = tiles_to_image(tiles, plan.width, plan.height, plan.tile_size)
+    rgb = img_full[..., :3]
+    depth = img_full[..., 3:4]
+    alpha = img_full[..., 4]
+
+    chans = []
+    if want_rgb:
+        chans.append(rgb)
+    if want_depth:
+        if render_mode in ("RGB+ED", "ED"):
+            depth = depth / jnp.maximum(alpha[..., None], 1e-10)
+        chans.append(depth)
+    image = jnp.concatenate(chans, axis=-1) if len(chans) > 1 else chans[0]
+    if background is not None and want_rgb:
+        image = image.at[..., :3].add(
+            (1.0 - alpha[..., None]) * background[None, None, :]
+        )
+    return image, alpha
+
+
+def backproject_view_pallas(
+    means,
+    quats,
+    scales,
+    opacities,
+    feat_image: jax.Array,  # (H, W, D)
+    viewmat,
+    K,
+    plan: PallasPlan,
+    d_chunk: int = 128,
+    proj_config: ProjectionConfig = ProjectionConfig(),
+    interpret: bool = False,
+    trans_eps: float = TRANS_EPS,
+) -> Tuple[jax.Array, jax.Array]:
+    """Fused adjoint for one camera: (feat_sums (N, D), weight_sums (N,))
+    in original Gaussian order. Channels processed in d_chunk passes so
+    the per-intersection contribution buffer stays bounded."""
+    from tpugs.raster.adjoint import image_to_tiles
+
+    proj = project(
+        means, quats, scales, opacities, viewmat, K,
+        plan.width, plan.height, proj_config,
+    )
+    geom = pack_isect_params(proj, plan)
+    D = feat_image.shape[-1]
+    d_pad = cdiv(D, d_chunk) * d_chunk
+    if d_pad != D:
+        feat_image = jnp.pad(feat_image, ((0, 0), (0, 0), (0, d_pad - D)))
+    feat_tiles = image_to_tiles(feat_image, plan.tile_size)
+
+    feat_parts = []
+    weight_sums = None
+    for c0 in range(0, d_pad, d_chunk):
+        with_wsum = c0 == 0
+        contribs, wsums = adjoint_pallas_raw(
+            geom,
+            feat_tiles[..., c0 : c0 + d_chunk],
+            plan,
+            with_wsum=with_wsum,
+            interpret=interpret,
+            trans_eps=trans_eps,
+        )
+        fs, ws = reduce_contribs(
+            contribs, wsums if with_wsum else None, plan
+        )
+        feat_parts.append(fs)
+        if with_wsum:
+            weight_sums = ws
+    feat_sums = jnp.concatenate(feat_parts, axis=-1)[:, :D]
+    return feat_sums, weight_sums
