@@ -42,10 +42,10 @@ def main():
         args.feature_dim, args.views = 32, 2
 
     from tpugs.encoders.base import LinearRGBEncoder
-    from tpugs.lift.batch import (
-        backproject_one_view,
-        estimate_sizes,
-        normalize_field,
+    from tpugs.lift.batch import normalize_field
+    from tpugs.lift.pallas_batch import (
+        backproject_one_view_pallas,
+        estimate_sizes_pallas,
     )
     from tpugs.utils.synthetic import orbit_cameras, random_scene
 
@@ -55,17 +55,23 @@ def main():
     )
     cams = orbit_cameras(args.views, args.width, args.height, radius=3.0)
     encoder = LinearRGBEncoder(feature_dim=args.feature_dim)
-    sizes = estimate_sizes(scene, cams, probe_cameras=2)
+    interpret = jax.devices()[0].platform == "cpu"
+    sizes = estimate_sizes_pallas(scene, cams, probe_stride=2)
 
     fn = jax.jit(
-        lambda sc, vm, K: backproject_one_view(
-            sc, vm, K, args.width, args.height, encoder, sizes
+        lambda sc, vm, K: backproject_one_view_pallas(
+            sc, vm, K, args.width, args.height, encoder, sizes,
+            interpret=interpret,
         )
     )
 
-    # Warmup / compile.
+    # Warmup / compile. (block_until_ready is unreliable on the remote
+    # TPU backend — force a device-to-host read to sync.)
+    def sync(x):
+        np.asarray(jax.device_get(x.ravel()[:1]))
+
     out = fn(scene, cams.viewmats[0], cams.Ks[0])
-    jax.block_until_ready(out)
+    sync(out[1])
 
     num = jnp.zeros((scene.num_gaussians, args.feature_dim))
     den = jnp.zeros((scene.num_gaussians,))
@@ -73,7 +79,7 @@ def main():
     for c in range(args.views):
         fs, ws = fn(scene, cams.viewmats[c], cams.Ks[c])
         num, den = num + fs, den + ws
-    jax.block_until_ready((num, den))
+    sync(den)
     dt = time.perf_counter() - t0
 
     feats = normalize_field(num, den)

@@ -121,3 +121,32 @@ def test_pallas_adjoint_channel_chunking_consistent():
     )
     np.testing.assert_allclose(np.asarray(fs1), np.asarray(fs2), atol=1e-5)
     np.testing.assert_allclose(np.asarray(ws1), np.asarray(ws2), atol=1e-5)
+
+
+def test_pallas_sizes_path_with_cover_caps():
+    """estimate_sizes + build_plan_pure + prefix-capped reduction must
+    match the host-bucketed plan path."""
+    from tpugs.lift.pallas_batch import (
+        backproject_one_view_pallas,
+        estimate_sizes_pallas,
+    )
+    from tpugs.encoders.base import LinearRGBEncoder
+
+    scene, cams = _setup(n=150)
+    vm, K = cams.viewmats[0], cams.Ks[0]
+    sizes = estimate_sizes_pallas(scene, cams, tile_size=16)
+    assert len(sizes.cover_caps) == sizes.cover_pad
+    assert all(
+        sizes.cover_caps[j] >= sizes.cover_caps[j + 1]
+        for j in range(len(sizes.cover_caps) - 1)
+    )
+    enc = LinearRGBEncoder(feature_dim=8)
+    fs, ws = backproject_one_view_pallas(
+        scene, vm, K, W, H, enc, sizes, d_chunk=16,
+        interpret=True, trans_eps=0.0, tile_size=16,
+    )
+    fs_ref, ws_ref = accumulate_view(
+        scene, vm, K, W, H,
+        feat_image=None,
+    )
+    np.testing.assert_allclose(np.asarray(ws), np.asarray(ws_ref), atol=1e-4)

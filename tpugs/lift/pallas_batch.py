@@ -1,0 +1,166 @@
+"""Production back-projection path: Pallas kernels, fully jitted.
+
+Mirrors ``lift/batch.py`` but every per-view stage (plan construction,
+fused render, encoder, fused adjoint) is pure-traceable with fixed
+static sizes (``PallasSizes``), so the whole camera loop runs as one
+XLA program with zero host round-trips, using the fused TPU kernels of
+``raster/pallas_tiled.py`` for the hot work.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tpugs.core.camera import Camera
+from tpugs.core.scene import GaussianScene
+from tpugs.raster.pallas_tiled import (
+    PallasSizes,
+    TRANS_EPS,
+    backproject_view_pallas,
+    build_plan_pure,
+    estimate_pallas_sizes,
+    render_view_pallas,
+)
+from tpugs.raster.projection import ProjectionConfig
+
+
+DEFAULT_TILE = 32  # larger tiles: ~4x fewer intersection entries than 16
+
+
+def estimate_sizes_pallas(
+    scene: GaussianScene,
+    cams: Camera,
+    proj_config: ProjectionConfig = ProjectionConfig(),
+    probe_stride: int = 1,
+    margin: float = 1.25,
+    tile_size: int = DEFAULT_TILE,
+) -> PallasSizes:
+    return estimate_pallas_sizes(
+        scene.means,
+        scene.quats,
+        scene.scales,
+        scene.opacities,
+        cams.viewmats,
+        cams.Ks,
+        cams.width,
+        cams.height,
+        proj_config,
+        tile_size=tile_size,
+        margin=margin,
+        probe_stride=probe_stride,
+    )
+
+
+def backproject_one_view_pallas(
+    scene: GaussianScene,
+    viewmat: jax.Array,
+    K: jax.Array,
+    width: int,
+    height: int,
+    encoder: Callable[[jax.Array], jax.Array],
+    sizes: PallasSizes,
+    d_chunk: int = 128,
+    proj_config: ProjectionConfig = ProjectionConfig(),
+    trans_eps: float = TRANS_EPS,
+    interpret: bool = False,
+    tile_size: int = DEFAULT_TILE,
+) -> Tuple[jax.Array, jax.Array]:
+    """Fused per-view pipeline on the Pallas kernels. Traceable.
+    Returns (feat_sums (N, D), weight_sums (N,))."""
+    plan = build_plan_pure(
+        scene.means,
+        scene.quats,
+        scene.scales,
+        scene.opacities,
+        viewmat,
+        K,
+        width,
+        height,
+        sizes,
+        proj_config,
+        tile_size,
+    )
+    rgb_d, _ = render_view_pallas(
+        scene.means,
+        scene.quats,
+        scene.scales,
+        scene.opacities,
+        scene.colors_all,
+        viewmat,
+        K,
+        plan,
+        sh_degree=scene.sh_degree,
+        render_mode="RGB",
+        proj_config=proj_config,
+        interpret=interpret,
+        trans_eps=trans_eps,
+    )
+    feats = encoder(rgb_d)
+    return backproject_view_pallas(
+        scene.means,
+        scene.quats,
+        scene.scales,
+        scene.opacities,
+        feats,
+        viewmat,
+        K,
+        plan,
+        d_chunk=d_chunk,
+        proj_config=proj_config,
+        interpret=interpret,
+        trans_eps=trans_eps,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "width",
+        "height",
+        "encoder",
+        "sizes",
+        "d_chunk",
+        "proj_config",
+        "interpret",
+        "tile_size",
+    ),
+)
+def backproject_views_pallas(
+    scene: GaussianScene,
+    viewmats: jax.Array,  # (C, 4, 4)
+    Ks: jax.Array,
+    width: int,
+    height: int,
+    encoder,
+    sizes: PallasSizes,
+    cam_weights: Optional[jax.Array] = None,
+    d_chunk: int = 128,
+    proj_config: ProjectionConfig = ProjectionConfig(),
+    interpret: bool = False,
+    tile_size: int = DEFAULT_TILE,
+) -> Tuple[jax.Array, jax.Array]:
+    """All views in one jitted scan. Returns (num (N, D), den (N,))."""
+    n = scene.num_gaussians
+    feature_dim = getattr(encoder, "feature_dim")
+    if cam_weights is None:
+        cam_weights = jnp.ones((viewmats.shape[0],), jnp.float32)
+
+    def body(carry, inputs):
+        num, den = carry
+        vm, K, wgt = inputs
+        fs, ws = backproject_one_view_pallas(
+            scene, vm, K, width, height, encoder, sizes,
+            d_chunk, proj_config, interpret=interpret, tile_size=tile_size,
+        )
+        return (num + wgt * fs, den + wgt * ws), None
+
+    num0 = jnp.zeros((n, feature_dim), jnp.float32)
+    den0 = jnp.zeros((n,), jnp.float32)
+    (num, den), _ = jax.lax.scan(
+        body, (num0, den0), (viewmats, Ks, cam_weights)
+    )
+    return num, den

@@ -65,18 +65,25 @@ class PallasPlan:
     """Per-(scene, camera) static-shaped plan for the Pallas kernels."""
 
     order: jax.Array  # (N,) depth permutation
-    sorted_gid: jax.Array  # (K_pad,) compact isect list (sentinel = N)
-    tile_starts: jax.Array  # (n_tiles,) int32 into the compact list
+    padded_gid: jax.Array  # (T_padded,) Gaussian id per block-padded
+    #                        intersection slot (sentinel = N for padding)
+    tile_starts: jax.Array  # (n_tiles,) raw span offsets (for lane masks)
     tile_ends: jax.Array  # (n_tiles,)
-    padded_starts: jax.Array  # (n_tiles,) block-padded output offsets
+    padded_starts: jax.Array  # (n_tiles,) block-padded offsets — every
+    #                           value is a multiple of BLOCK, so all
+    #                           kernel DMAs are lane-tile aligned
     slots: jax.Array  # (N, cover_pad) padded-contrib slot per cover, or
-    #                    T_padded (dummy zero row) for unused covers
+    #                    T_padded (dummy zero row) for unused covers.
+    #                    Rows sorted by DESCENDING cover count, so column
+    #                    j's real entries form a prefix (see reduce).
+    slot_order: jax.Array  # (N,) original Gaussian index per slots row
     width: int = dataclasses.field(metadata=_STATIC, default=0)
     height: int = dataclasses.field(metadata=_STATIC, default=0)
     tile_size: int = dataclasses.field(metadata=_STATIC, default=16)
     K_pad: int = dataclasses.field(metadata=_STATIC, default=0)
     T_padded: int = dataclasses.field(metadata=_STATIC, default=0)
     cover_pad: int = dataclasses.field(metadata=_STATIC, default=0)
+    cover_caps: tuple = dataclasses.field(metadata=_STATIC, default=())
 
 
 # --------------------------------------------------------------- planning
@@ -98,6 +105,22 @@ def cdiv_arr(a, b):
 
 
 @functools.partial(
+    jax.jit, static_argnames=("tile_size", "width", "height", "max_cover")
+)
+def _cover_hist_jit(proj: Projected, tile_size, width, height, max_cover):
+    """hist[j] = #Gaussians covering more than j tiles."""
+    from tpugs.raster.binning import tile_bbox
+
+    ntx, nty = tile_grid(width, height, tile_size)
+    tx0, ty0, tx1, ty1 = tile_bbox(
+        proj.means2d, proj.radii, proj.valid, tile_size, ntx, nty
+    )
+    cnt = (tx1 - tx0) * (ty1 - ty0)
+    j = jnp.arange(max_cover, dtype=jnp.int32)
+    return jnp.sum(cnt[None, :] > j[:, None], axis=1)
+
+
+@functools.partial(
     jax.jit,
     static_argnames=(
         "tile_size",
@@ -107,6 +130,7 @@ def cdiv_arr(a, b):
         "K_pad",
         "T_padded",
         "cover_pad",
+        "cover_caps",
     ),
 )
 def _plan_build(
@@ -118,6 +142,7 @@ def _plan_build(
     K_pad,
     T_padded,
     cover_pad,
+    cover_caps=(),
 ):
     n = proj.means2d.shape[0]
     ntx, nty = tile_grid(width, height, tile_size)
@@ -168,12 +193,27 @@ def _plan_build(
     slots_flat = jnp.zeros((n * max_cover,), jnp.int32).at[eidx_s].set(
         pos, unique_indices=True
     )
-    slots = slots_flat.reshape(n, max_cover)[:, :cover_pad]
+    slots_depth = slots_flat.reshape(n, max_cover)[:, :cover_pad]
+    # Sort rows by descending cover count: column j of the sorted table
+    # has its valid entries in a prefix, so the reduction can gather a
+    # static prefix instead of the full column (most covers are small).
+    cover_rank = jnp.argsort(-cnt)
+    slots = slots_depth[cover_rank]
+    slot_order = order[cover_rank]  # row i of slots -> original Gaussian
 
-    sorted_gid = gid_s[:K_pad]
+    # Gaussian id per padded slot (block-padding slots -> sentinel N).
+    pos_sc = jnp.where(tid_s < n_tiles, pos, T_padded)
+    padded_gid = (
+        jnp.full((T_padded + 1,), n, jnp.int32)
+        .at[pos_sc]
+        .set(jnp.where(tid_s < n_tiles, gid_s, n), unique_indices=True)[
+            :T_padded
+        ]
+    )
     return PallasPlan(
         order=order,
-        sorted_gid=sorted_gid,
+        padded_gid=padded_gid,
+        slot_order=slot_order,
         tile_starts=tile_starts_full[:-1],
         tile_ends=tile_starts_full[1:],
         padded_starts=padded_starts,
@@ -184,6 +224,106 @@ def _plan_build(
         K_pad=K_pad,
         T_padded=T_padded,
         cover_pad=cover_pad,
+    )
+
+
+class PallasSizes(NamedTuple):
+    """Static shape buckets for a (scene, camera rig) pair. Measure once
+    with ``estimate_pallas_sizes`` then build plans for every view with
+    ZERO host syncs."""
+
+    max_cover: int
+    T_padded: int
+    cover_pad: int
+    # cover_caps[j]: static upper bound on #Gaussians covering > j tiles
+    # (monotone nonincreasing). Lets the reduction gather only prefixes.
+    cover_caps: tuple = ()
+
+
+def estimate_pallas_sizes(
+    means,
+    quats,
+    scales,
+    opacities,
+    viewmats,  # (C, 4, 4) — probes all (or a stride of) views
+    Ks,
+    width: int,
+    height: int,
+    proj_config: ProjectionConfig = ProjectionConfig(),
+    tile_size: int = 16,
+    margin: float = 1.25,
+    probe_stride: int = 1,
+) -> PallasSizes:
+    """Host-side, once per scene+rig: measure the worst-case cover and
+    padded-intersection count over the probed views, add headroom, and
+    bucket. All later per-view plan builds are then pure jit."""
+    from tpugs.raster.api import _cover_stats_jit, _project_jit
+
+    cover_req, t_padded = 1, BLOCK
+    hist = None
+    for c in range(0, viewmats.shape[0], probe_stride):
+        proj = _project_jit(
+            means, quats, scales, opacities,
+            viewmats[c], Ks[c], width, height, proj_config,
+        )
+        cr = int(_cover_stats_jit(proj, tile_size, width, height))
+        cover_req = max(cover_req, cr)
+        _, tp, _ = _plan_stats(proj, tile_size, width, height, bucket(cr))
+        t_padded = max(t_padded, int(tp))
+        h = np.asarray(
+            _cover_hist_jit(proj, tile_size, width, height, bucket(cr))
+        )
+        h = np.pad(h, (0, max(0, 256 - len(h))))[:256]
+        hist = h if hist is None else np.maximum(hist, h)
+    cover = max(1, int(np.ceil(cover_req * margin)))
+    max_cover = 8 * cdiv(cover, 8)
+    t = int(np.ceil(t_padded * margin))
+    T_padded = cdiv(t, BLOCK * 1024) * BLOCK * 1024  # 128K granularity
+    n = means.shape[0]
+    caps = []
+    for j in range(max_cover):
+        c_j = hist[j] if j < len(hist) else 0
+        c_j = int(min(n, np.ceil(c_j * margin)))
+        c_j = cdiv(max(c_j, 1), 1024) * 1024  # 1K granularity
+        caps.append(min(c_j, n))
+    # enforce monotone nonincreasing
+    for j in range(1, max_cover):
+        caps[j] = min(caps[j], caps[j - 1])
+    return PallasSizes(
+        max_cover=max_cover,
+        T_padded=T_padded,
+        cover_pad=max_cover,
+        cover_caps=tuple(caps),
+    )
+
+
+def build_plan_pure(
+    means,
+    quats,
+    scales,
+    opacities,
+    viewmat,
+    K,
+    width: int,
+    height: int,
+    sizes: PallasSizes,
+    proj_config: ProjectionConfig = ProjectionConfig(),
+    tile_size: int = 16,
+) -> PallasPlan:
+    """Fully traceable per-view plan construction (fixed static sizes)."""
+    proj = project(
+        means, quats, scales, opacities, viewmat, K, width, height, proj_config
+    )
+    return _plan_build(
+        proj,
+        tile_size,
+        width,
+        height,
+        sizes.max_cover,
+        sizes.T_padded,  # K_pad retained for hash stability
+        sizes.T_padded,
+        sizes.cover_pad,
+        sizes.cover_caps,
     )
 
 
@@ -199,7 +339,9 @@ def build_pallas_plan(
     proj_config: ProjectionConfig = ProjectionConfig(),
     tile_size: int = 16,
 ) -> PallasPlan:
-    """Host-orchestrated plan construction with power-of-two bucketing."""
+    """Host-orchestrated plan construction with power-of-two bucketing
+    (single-view convenience; production paths use
+    estimate_pallas_sizes + build_plan_pure)."""
     from tpugs.raster.api import _cover_stats_jit, _project_jit
 
     proj = _project_jit(
@@ -230,7 +372,7 @@ def build_pallas_plan(
 
 
 def pack_isect_params(proj: Projected, plan: PallasPlan):
-    """Pre-gather per-intersection geometry, transposed: (8, K_pad) with
+    """Pre-gather per-intersection geometry, transposed: (8, T_padded) with
     rows [mx, my, conic_a, conic_b, conic_c, opacity, depth, pad]."""
     order = plan.order
     opac = jnp.where(proj.valid, proj.opacities, 0.0)
@@ -250,16 +392,16 @@ def pack_isect_params(proj: Projected, plan: PallasPlan):
     dummy = jnp.zeros((1, 8), packed.dtype)
     packed = jnp.concatenate([packed, dummy], axis=0)  # (N+1, 8)
     # Row gather (fast on TPU), then one transpose to the lane-major
-    # layout the kernel DMAs from. Padded by one block so the last
-    # tiles' block DMA [start, start+BLOCK) never reads out of bounds
-    # (XLA clamps OOB dynamic slices, which would silently shift data).
-    g = jnp.transpose(packed[plan.sorted_gid])  # (8, K_pad)
-    return jnp.concatenate([g, jnp.zeros((8, BLOCK), g.dtype)], axis=1)
+    # layout the kernel DMAs from. The padded layout means every block
+    # DMA offset is a multiple of BLOCK (Mosaic requires lane-tile
+    # alignment for HBM slices) and always in bounds.
+    return jnp.transpose(packed[plan.padded_gid])  # (8, T_padded)
 
 
 def pack_isect_colors(colors: jax.Array, depths: jax.Array, plan: PallasPlan):
-    """(K_pad, 8) color rows [c0..cD-1, depth, 0...] in isect order
-    (Gaussians on sublanes — ready for the (256,128)@(128,8) matmul)."""
+    """(8, T_padded) transposed color rows [c0..cD-1, depth, 0...] in
+    padded isect order — same lane-major layout as the geometry so block
+    DMAs are lane-tile aligned (Mosaic forbids minor-dim-8 HBM slices)."""
     n, d = colors.shape
     cols = jnp.concatenate(
         [
@@ -270,9 +412,7 @@ def pack_isect_colors(colors: jax.Array, depths: jax.Array, plan: PallasPlan):
         axis=1,
     )
     cols = jnp.concatenate([cols, jnp.zeros((1, 8), cols.dtype)], axis=0)
-    out = cols[plan.sorted_gid]  # (K_pad, 8)
-    # Same one-block pad as pack_isect_params (see comment there).
-    return jnp.concatenate([out, jnp.zeros((BLOCK, 8), out.dtype)], axis=0)
+    return jnp.transpose(cols[plan.padded_gid])  # (8, T_padded)
 
 
 # ------------------------------------------------------------- kernels
@@ -334,12 +474,13 @@ def _tile_pixels(t, ntx: int, ts: int, tspx: int):
     return tx * ts + lx + 0.5, ty * ts + ly + 0.5
 
 
-def _make_render_kernel(ntx: int, ts: int, n_out: int, trans_eps: float):
+def _make_render_kernel(ntx: int, ts: int, n_out: int, trans_eps: float, t_padded: int):
     tspx = ts * ts
 
     def kernel(
         starts_ref,
         ends_ref,
+        pstarts_ref,
         geom_hbm,
         cols_hbm,
         img_ref,
@@ -351,18 +492,24 @@ def _make_render_kernel(ntx: int, ts: int, n_out: int, trans_eps: float):
         t = pl.program_id(0)
         start = starts_ref[t]
         end = ends_ref[t]
+        pstart = pl.multiple_of(pstarts_ref[t], BLOCK)
         nb = (end - start + BLOCK - 1) // BLOCK
+        # Safety clamp: if the plan's static T_padded underestimated this
+        # view (sizes measured on other views), truncate rather than DMA
+        # out of bounds.
+        nb = jnp.minimum(nb, (t_padded - pstart) // BLOCK)
         px_x, px_y = _tile_pixels(t, ntx, ts, tspx)
         lane = jax.lax.broadcasted_iota(jnp.int32, (tspx, BLOCK), 1)
 
         def fetch(slot, b):
+            off = pl.multiple_of(pstart + b * BLOCK, BLOCK)
             g = pltpu.make_async_copy(
-                geom_hbm.at[:, pl.ds(start + b * BLOCK, BLOCK)],
+                geom_hbm.at[:, pl.ds(off, BLOCK)],
                 gbuf.at[slot],
                 gsem.at[slot],
             )
             c = pltpu.make_async_copy(
-                cols_hbm.at[pl.ds(start + b * BLOCK, BLOCK), :],
+                cols_hbm.at[:, pl.ds(off, BLOCK)],
                 cbuf.at[slot],
                 csem.at[slot],
             )
@@ -387,13 +534,14 @@ def _make_render_kernel(ntx: int, ts: int, n_out: int, trans_eps: float):
             def _():
                 fetch(1 - slot, b + 1)
 
+            off = pl.multiple_of(pstart + b * BLOCK, BLOCK)
             pltpu.make_async_copy(
-                geom_hbm.at[:, pl.ds(start + b * BLOCK, BLOCK)],
+                geom_hbm.at[:, pl.ds(off, BLOCK)],
                 gbuf.at[slot],
                 gsem.at[slot],
             ).wait()
             pltpu.make_async_copy(
-                cols_hbm.at[pl.ds(start + b * BLOCK, BLOCK), :],
+                cols_hbm.at[:, pl.ds(off, BLOCK)],
                 cbuf.at[slot],
                 csem.at[slot],
             ).wait()
@@ -401,19 +549,35 @@ def _make_render_kernel(ntx: int, ts: int, n_out: int, trans_eps: float):
             remaining = end - start - b * BLOCK
             lane_valid = lane < remaining
             w, trans = _block_weights(gbuf[slot], px_x, px_y, trans, lane_valid)
-            img = img + jax.lax.dot_general(
-                w,
-                cbuf[slot][:, :n_out],
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+            # Per-channel accumulation: img[:, c] += sum_lanes w * col_c.
+            # (n_out <= 4 small channel counts: lane reductions beat a
+            # degenerate matmul and avoid transposing the color block.)
+            cols_t = cbuf[slot]  # (8, BLOCK) lane-major channels
+            chans = [
+                jnp.sum(w * cols_t[c : c + 1, :], axis=1, keepdims=True)
+                for c in range(n_out)
+            ]
+            img = img + jnp.concatenate(chans, axis=1)
             return b + 1, (img, trans), jnp.max(trans)
 
         img0 = jnp.zeros((tspx, n_out), jnp.float32)
         trans0 = jnp.ones((tspx, 1), jnp.float32)
-        _, (img, trans), _ = jax.lax.while_loop(
+        b_stop, (img, trans), _ = jax.lax.while_loop(
             cond, body, (jnp.int32(0), (img0, trans0), jnp.float32(1.0))
         )
+        # Early exit leaves one prefetched block in flight — drain it, or
+        # its completion would desync the semaphores for the next tile.
+        @pl.when(b_stop < nb)
+        def _():
+            slot = jax.lax.rem(b_stop, 2)
+            off = pl.multiple_of(pstart + b_stop * BLOCK, BLOCK)
+            pltpu.make_async_copy(
+                geom_hbm.at[:, pl.ds(off, BLOCK)], gbuf.at[slot], gsem.at[slot]
+            ).wait()
+            pltpu.make_async_copy(
+                cols_hbm.at[:, pl.ds(off, BLOCK)], cbuf.at[slot], csem.at[slot]
+            ).wait()
+
         img_ref[0, :, :n_out] = img
         img_ref[0, :, n_out:] = 1.0 - trans  # alpha channel
 
@@ -421,8 +585,8 @@ def _make_render_kernel(ntx: int, ts: int, n_out: int, trans_eps: float):
 
 
 def render_pallas_raw(
-    geom: jax.Array,  # (8, K_pad) from pack_isect_params
-    cols: jax.Array,  # (K_pad, 8) from pack_isect_colors
+    geom: jax.Array,  # (8, T_padded) from pack_isect_params
+    cols: jax.Array,  # (8, T_padded) from pack_isect_colors
     plan: PallasPlan,
     n_out: int = 4,  # channels of cols actually used (rgb+depth)
     interpret: bool = False,
@@ -435,28 +599,28 @@ def render_pallas_raw(
     tspx = ts * ts
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
-            (1, tspx, n_out + 1), lambda t, s, e: (t, 0, 0)
+            (1, tspx, n_out + 1), lambda t, *_: (t, 0, 0)
         ),
         scratch_shapes=[
             pltpu.VMEM((2, 8, BLOCK), jnp.float32),
-            pltpu.VMEM((2, BLOCK, 8), jnp.float32),
+            pltpu.VMEM((2, 8, BLOCK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     out = pl.pallas_call(
-        _make_render_kernel(ntx, ts, n_out, trans_eps),
+        _make_render_kernel(ntx, ts, n_out, trans_eps, plan.T_padded),
         out_shape=jax.ShapeDtypeStruct((n_tiles, tspx, n_out + 1), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(plan.tile_starts, plan.tile_ends, geom, cols)
+    )(plan.tile_starts, plan.tile_ends, plan.padded_starts, geom, cols)
     return out
 
 
@@ -470,7 +634,7 @@ def tiles_to_image(tiles: jax.Array, width: int, height: int, tile_size: int):
     return t.reshape(nty * ts, ntx * ts, c)[:height, :width]
 
 
-def _make_adjoint_kernel(ntx: int, ts: int, d_chunk: int, with_wsum: bool, trans_eps: float):
+def _make_adjoint_kernel(ntx: int, ts: int, d_chunk: int, trans_eps: float, t_padded: int):
     tspx = ts * ts
 
     def kernel(
@@ -479,27 +643,26 @@ def _make_adjoint_kernel(ntx: int, ts: int, d_chunk: int, with_wsum: bool, trans
         pstarts_ref,
         geom_hbm,
         feat_ref,  # (1, tspx, d_chunk) VMEM (blocked per tile)
-        contrib_hbm,  # (T_padded + pad, d_chunk) ANY
-        wsum_hbm,  # (T_padded + pad, 8) ANY (only used if with_wsum)
+        contrib_hbm,  # (T_padded + BLOCK, d_chunk) ANY
         gbuf,
         obuf,
-        wbuf,
         gsem,
         osem,
-        wsem,
     ):
         t = pl.program_id(0)
         start = starts_ref[t]
         end = ends_ref[t]
-        pstart = pstarts_ref[t]
+        pstart = pl.multiple_of(pstarts_ref[t], BLOCK)
         nb = (end - start + BLOCK - 1) // BLOCK
+        nb = jnp.minimum(nb, (t_padded - pstart) // BLOCK)  # see render kernel
         px_x, px_y = _tile_pixels(t, ntx, ts, tspx)
         lane = jax.lax.broadcasted_iota(jnp.int32, (tspx, BLOCK), 1)
         feats = feat_ref[0]  # (tspx, d_chunk)
 
         def fetch(slot, b):
+            off = pl.multiple_of(pstart + b * BLOCK, BLOCK)
             pltpu.make_async_copy(
-                geom_hbm.at[:, pl.ds(start + b * BLOCK, BLOCK)],
+                geom_hbm.at[:, pl.ds(off, BLOCK)],
                 gbuf.at[slot],
                 gsem.at[slot],
             ).start()
@@ -508,33 +671,13 @@ def _make_adjoint_kernel(ntx: int, ts: int, d_chunk: int, with_wsum: bool, trans
         def _():
             fetch(0, 0)
 
-        def flush(slot, b, contrib, wsum):
-            obuf[slot] = contrib
-            pltpu.make_async_copy(
+        def out_dma(slot, b):
+            off = pl.multiple_of(pstart + b * BLOCK, BLOCK)
+            return pltpu.make_async_copy(
                 obuf.at[slot],
-                contrib_hbm.at[pl.ds(pstart + b * BLOCK, BLOCK), :],
+                contrib_hbm.at[pl.ds(off, BLOCK), :],
                 osem.at[slot],
-            ).start()
-            if with_wsum:
-                wbuf[slot] = wsum
-                pltpu.make_async_copy(
-                    wbuf.at[slot],
-                    wsum_hbm.at[pl.ds(pstart + b * BLOCK, BLOCK), :],
-                    wsem.at[slot],
-                ).start()
-
-        def wait_flush(slot, b):
-            pltpu.make_async_copy(
-                obuf.at[slot],
-                contrib_hbm.at[pl.ds(pstart + b * BLOCK, BLOCK), :],
-                osem.at[slot],
-            ).wait()
-            if with_wsum:
-                pltpu.make_async_copy(
-                    wbuf.at[slot],
-                    wsum_hbm.at[pl.ds(pstart + b * BLOCK, BLOCK), :],
-                    wsem.at[slot],
-                ).wait()
+            )
 
         def cond(carry):
             b, _, max_t = carry
@@ -548,8 +691,9 @@ def _make_adjoint_kernel(ntx: int, ts: int, d_chunk: int, with_wsum: bool, trans
             def _():
                 fetch(1 - slot, b + 1)
 
+            off = pl.multiple_of(pstart + b * BLOCK, BLOCK)
             pltpu.make_async_copy(
-                geom_hbm.at[:, pl.ds(start + b * BLOCK, BLOCK)],
+                geom_hbm.at[:, pl.ds(off, BLOCK)],
                 gbuf.at[slot],
                 gsem.at[slot],
             ).wait()
@@ -558,30 +702,25 @@ def _make_adjoint_kernel(ntx: int, ts: int, d_chunk: int, with_wsum: bool, trans
             lane_valid = lane < remaining
             w, trans = _block_weights(gbuf[slot], px_x, px_y, trans, lane_valid)
 
-            # contrib (BLOCK, d_chunk) = w^T @ feats
+            # contrib (BLOCK, d_chunk) = w^T @ feats (MXU). The driver
+            # prepends a ones-channel to the features, so channel 0 of
+            # the contribution IS the weight denominator Σ_p w(g,p) —
+            # the reference's all-ones backward pass for free
+            # (backproject.py:133-150).
             contrib = jax.lax.dot_general(
                 w,
                 feats,
                 (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            wsum = None
-            if with_wsum:
-                # (BLOCK, 8) columns all equal to the pixel-sum of w —
-                # computed on the MXU to stay 2D-shaped.
-                wsum = jax.lax.dot_general(
-                    w,
-                    jnp.ones((tspx, 8), jnp.float32),
-                    (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
 
             # Wait for the previous flush on this slot before reuse.
             @pl.when(b >= 2)
             def _():
-                wait_flush(slot, b - 2)
+                out_dma(slot, b - 2).wait()
 
-            flush(slot, b, contrib, wsum)
+            obuf[slot] = contrib
+            out_dma(slot, b).start()
             return b + 1, trans, jnp.max(trans)
 
         trans0 = jnp.ones((tspx, 1), jnp.float32)
@@ -589,8 +728,18 @@ def _make_adjoint_kernel(ntx: int, ts: int, d_chunk: int, with_wsum: bool, trans
             cond, body, (jnp.int32(0), trans0, jnp.float32(1.0))
         )
 
-        # Zero-fill any blocks skipped by early exit so the padded layout
-        # stays dense (their weights are < TRANS_EPS).
+        # Early exit leaves one prefetched geometry block in flight —
+        # drain it before the buffers are reused.
+        @pl.when(b_stop < nb)
+        def _():
+            slot = jax.lax.rem(b_stop, 2)
+            off = pl.multiple_of(pstart + b_stop * BLOCK, BLOCK)
+            pltpu.make_async_copy(
+                geom_hbm.at[:, pl.ds(off, BLOCK)], gbuf.at[slot], gsem.at[slot]
+            ).wait()
+
+        # Zero-fill blocks skipped by early exit so the padded layout
+        # stays dense (their true weights are < trans_eps per pixel).
         def zcond(carry):
             return carry[0] < nb
 
@@ -600,14 +749,10 @@ def _make_adjoint_kernel(ntx: int, ts: int, d_chunk: int, with_wsum: bool, trans
 
             @pl.when(b >= 2)
             def _():
-                wait_flush(slot, b - 2)
+                out_dma(slot, b - 2).wait()
 
-            flush(
-                slot,
-                b,
-                jnp.zeros((BLOCK, d_chunk), jnp.float32),
-                jnp.zeros((BLOCK, 8), jnp.float32) if with_wsum else None,
-            )
+            obuf[slot] = jnp.zeros((BLOCK, d_chunk), jnp.float32)
+            out_dma(slot, b).start()
             return b + 1, 0
 
         jax.lax.while_loop(zcond, zbody, (b_stop, 0))
@@ -615,26 +760,25 @@ def _make_adjoint_kernel(ntx: int, ts: int, d_chunk: int, with_wsum: bool, trans
         # Drain outstanding flushes.
         @pl.when(nb >= 2)
         def _():
-            wait_flush(jax.lax.rem(nb - 2, 2), nb - 2)
+            out_dma(jax.lax.rem(nb - 2, 2), nb - 2).wait()
 
         @pl.when(nb >= 1)
         def _():
-            wait_flush(jax.lax.rem(nb - 1, 2), nb - 1)
+            out_dma(jax.lax.rem(nb - 1, 2), nb - 1).wait()
 
     return kernel
 
 
 def adjoint_pallas_raw(
-    geom: jax.Array,  # (8, K_pad)
+    geom: jax.Array,  # (8, T_padded)
     feat_tiles: jax.Array,  # (n_tiles, tspx, d_chunk)
     plan: PallasPlan,
-    with_wsum: bool = True,
     interpret: bool = False,
     trans_eps: float = TRANS_EPS,
 ):
-    """Per-intersection contributions (T_padded + 1, d_chunk) plus
-    weight sums (T_padded + 1,). The extra row is the zero dummy row
-    that unused slot-table entries point to."""
+    """Per-intersection contribution rows (T_padded + BLOCK, d_chunk).
+    Rows beyond T_padded are the dummy region that unused slot-table
+    entries point to (masked out in reduce_contribs)."""
     ntx, nty = tile_grid(plan.width, plan.height, plan.tile_size)
     n_tiles = ntx * nty
     ts = plan.tile_size
@@ -650,53 +794,68 @@ def adjoint_pallas_raw(
                 (1, tspx, d_chunk), lambda t, *_: (t, 0, 0)
             ),
         ],
-        out_specs=(
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((2, 8, BLOCK), jnp.float32),
             pltpu.VMEM((2, BLOCK, d_chunk), jnp.float32),
-            pltpu.VMEM((2, BLOCK, 8), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    contribs, wsums = pl.pallas_call(
-        _make_adjoint_kernel(ntx, ts, d_chunk, with_wsum, trans_eps),
-        out_shape=(
-            jax.ShapeDtypeStruct((plan.T_padded + BLOCK, d_chunk), jnp.float32),
-            jax.ShapeDtypeStruct((plan.T_padded + BLOCK, 8), jnp.float32),
+    contribs = pl.pallas_call(
+        _make_adjoint_kernel(ntx, ts, d_chunk, trans_eps, plan.T_padded),
+        out_shape=jax.ShapeDtypeStruct(
+            (plan.T_padded + BLOCK, d_chunk), jnp.float32
         ),
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(plan.tile_starts, plan.tile_ends, plan.padded_starts, geom, feat_tiles)
-    return contribs, wsums[:, 0]
+    return contribs
 
 
 def reduce_contribs(
-    contribs: jax.Array,  # (T_padded + pad, D)
-    wsums: Optional[jax.Array],  # (T_padded + pad,)
+    contribs: jax.Array,  # (T_padded + BLOCK, D)
     plan: PallasPlan,
-) -> Tuple[jax.Array, Optional[jax.Array]]:
+) -> jax.Array:
     """Per-Gaussian sums via the slot-table gather (no scatter).
-    Returns arrays in ORIGINAL Gaussian order."""
-    slots = plan.slots  # (N, cover_pad) — values in [0, T_padded]
-    valid = slots < plan.T_padded
-    safe = jnp.minimum(slots, contribs.shape[0] - 1)
-    gathered = jnp.where(valid[..., None], contribs[safe], 0.0)
-    feat_sums_d = jnp.sum(gathered, axis=1)  # (N, D)
-    n = slots.shape[0]
-    inv = jnp.zeros((n,), jnp.int32).at[plan.order].set(
+    Returns (N, D) in ORIGINAL Gaussian order.
+
+    The slot table rows are sorted by descending cover count, so column
+    j's real entries form a prefix; with static prefix caps
+    (``cover_caps`` from the size estimation) each column gathers only
+    ~the real intersections instead of N rows of mostly dummies."""
+    slots = plan.slots  # (N, cover_pad), cover-sorted rows
+    n, cover = slots.shape
+    D = contribs.shape[-1]
+    cover_caps = plan.cover_caps
+
+    def cap_of(j):
+        cap = cover_caps[j] if j < len(cover_caps) else n
+        return min(max(int(cap), 1), n)
+
+    # Accumulate from the deepest (smallest-prefix) column outward so
+    # every add/copy is sized by the smaller prefix — total data moved
+    # ~= the real intersection count, not cover * N.
+    acc = None
+    prev_cap = 0
+    for j in reversed(range(cover)):
+        cap = cap_of(j)
+        col = jax.lax.slice_in_dim(slots, j, j + 1, axis=1)[:cap, 0]
+        valid = col < plan.T_padded
+        safe = jnp.minimum(col, contribs.shape[0] - 1)
+        rows = jnp.where(valid[:, None], contribs[safe], 0.0)
+        if acc is None:
+            acc = rows
+        else:
+            pc = min(prev_cap, cap)
+            acc = rows.at[:pc, :].add(acc[:pc])
+        prev_cap = cap
+    out = jnp.zeros((n, D), jnp.float32).at[:prev_cap].set(acc)
+    inv = jnp.zeros((n,), jnp.int32).at[plan.slot_order].set(
         jnp.arange(n, dtype=jnp.int32)
     )
-    feat_sums = feat_sums_d[inv]
-    weight_sums = None
-    if wsums is not None:
-        weight_sums = jnp.sum(jnp.where(valid, wsums[safe], 0.0), axis=1)[inv]
-    return feat_sums, weight_sums
+    return out[inv]
 
 
 # ------------------------------------------------------- high-level API
@@ -769,8 +928,11 @@ def backproject_view_pallas(
     trans_eps: float = TRANS_EPS,
 ) -> Tuple[jax.Array, jax.Array]:
     """Fused adjoint for one camera: (feat_sums (N, D), weight_sums (N,))
-    in original Gaussian order. Channels processed in d_chunk passes so
-    the per-intersection contribution buffer stays bounded."""
+    in original Gaussian order. A ones-channel is prepended to the
+    features, so the weight denominator falls out as channel 0 of the
+    first chunk (the reference's all-ones backward pass, for free).
+    Channels are processed in d_chunk passes so the per-intersection
+    contribution buffer stays bounded."""
     from tpugs.raster.adjoint import image_to_tiles
 
     proj = project(
@@ -778,29 +940,40 @@ def backproject_view_pallas(
         plan.width, plan.height, proj_config,
     )
     geom = pack_isect_params(proj, plan)
-    D = feat_image.shape[-1]
-    d_pad = cdiv(D, d_chunk) * d_chunk
-    if d_pad != D:
-        feat_image = jnp.pad(feat_image, ((0, 0), (0, 0), (0, d_pad - D)))
-    feat_tiles = image_to_tiles(feat_image, plan.tile_size)
+    H, W, D = feat_image.shape
+    d_pad = cdiv(D + 1, d_chunk) * d_chunk
+
+    def chunk_image(c0):
+        """Channels [c0, c0+d_chunk) of [ones | feats | zero-pad],
+        materialized per chunk to keep peak HBM bounded."""
+        lo = c0 - 1  # index into feats of the first channel (ones at -1)
+        hi = lo + d_chunk
+        parts = []
+        if lo < 0:
+            parts.append(jnp.ones((H, W, 1), feat_image.dtype))
+            lo = 0
+        take = min(hi, D) - lo
+        if take > 0:
+            parts.append(jax.lax.slice_in_dim(feat_image, lo, lo + take, axis=2))
+        have = sum(p.shape[-1] for p in parts)
+        if have < d_chunk:
+            parts.append(
+                jnp.zeros((H, W, d_chunk - have), feat_image.dtype)
+            )
+        return jnp.concatenate(parts, axis=-1)
 
     feat_parts = []
-    weight_sums = None
     for c0 in range(0, d_pad, d_chunk):
-        with_wsum = c0 == 0
-        contribs, wsums = adjoint_pallas_raw(
+        feat_tiles = image_to_tiles(chunk_image(c0), plan.tile_size)
+        contribs = adjoint_pallas_raw(
             geom,
-            feat_tiles[..., c0 : c0 + d_chunk],
+            feat_tiles,
             plan,
-            with_wsum=with_wsum,
             interpret=interpret,
             trans_eps=trans_eps,
         )
-        fs, ws = reduce_contribs(
-            contribs, wsums if with_wsum else None, plan
-        )
-        feat_parts.append(fs)
-        if with_wsum:
-            weight_sums = ws
-    feat_sums = jnp.concatenate(feat_parts, axis=-1)[:, :D]
+        feat_parts.append(reduce_contribs(contribs, plan))
+    all_sums = jnp.concatenate(feat_parts, axis=-1)
+    weight_sums = all_sums[:, 0]
+    feat_sums = all_sums[:, 1 : 1 + D]
     return feat_sums, weight_sums
