@@ -91,3 +91,42 @@ def test_cli_parser():
     assert cli(fn, []) == (3, "x", False)
     assert cli(fn, ["--a", "7", "--flag"]) == (7, "x", True)
     assert cli(fn, ["--name", "hi", "--no-flag"]) == (3, "hi", False)
+
+
+def test_train_cli_end_to_end(tmp_path):
+    """Tiny end-to-end training run through the CLI entry."""
+    import imageio.v2 as imageio
+
+    from tpugs.apps.train import main as train_main
+    from tpugs.utils.synthetic import (
+        orbit_cameras,
+        random_scene,
+        write_synthetic_colmap,
+    )
+    from tpugs.viz.gif import render_to_gif
+
+    scene = random_scene(100, seed=0, extent=0.8, scale_range=(0.02, 0.1))
+    cams = orbit_cameras(5, 48, 32, radius=2.5)
+    data_dir = str(tmp_path / "data")
+    os.makedirs(data_dir + "/images", exist_ok=True)
+    write_synthetic_colmap(data_dir, cams)
+    frames = render_to_gif(None, scene, cams, save_frames=False)
+    for i, f in enumerate(frames):
+        imageio.imwrite(f"{data_dir}/images/frame_{i:04d}.jpg", f)
+
+    trainer = train_main(
+        data_dir=data_dir,
+        result_dir=str(tmp_path / "out"),
+        data_factor=1,
+        max_steps=8,
+        feature_dim=8,
+        feature_out_dim=4,
+        teacher="linear:4",
+        strategy="none",
+        test_every=4,
+        eval_every=0,
+        save_every=0,
+    )
+    assert trainer.step == 8
+    assert os.path.exists(str(tmp_path / "out" / "ckpts" / "ckpt_7.npz"))
+    assert os.path.exists(str(tmp_path / "out" / "stats" / "val_final.json"))

@@ -1,0 +1,134 @@
+"""CLI: Feature-3DGS training (reference
+``f3dgs/simple_trainer_feature_3dgs.py`` main/cli, ``:950-1023``).
+
+Runs the full loop: COLMAP parse -> SfM init -> jitted train steps with
+joint RGB + feature distillation -> periodic eval/checkpoint -> final
+trajectory video. Multi-chip: launch with a mesh via --data-parallel
+(uses ``tpugs/dist``)."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+
+
+def main(
+    data_dir: str = "./data/garden",
+    result_dir: str = "./results/garden",
+    data_factor: int = 4,
+    max_steps: int = 30_000,
+    feature_dim: int = 128,
+    feature_out_dim: int = 512,
+    teacher: str = "linear:512",
+    strategy: str = "default",
+    init_type: str = "sfm",
+    sh_degree: int = 3,
+    test_every: int = 8,
+    eval_every: int = 7000,
+    save_every: int = 7000,
+    depth_loss: bool = False,
+    steps_scaler: float = 1.0,
+    seed: int = 42,
+):
+    import jax.numpy as jnp
+
+    from tpugs.encoders import get_encoder
+    from tpugs.train.config import TrainConfig
+    from tpugs.train.dataset import Dataset, Parser
+    from tpugs.train.trainer import (
+        Trainer,
+        init_scene_from_points,
+        init_scene_random,
+    )
+
+    cfg = TrainConfig(
+        data_dir=data_dir,
+        result_dir=result_dir,
+        data_factor=data_factor,
+        max_steps=max_steps,
+        feature_dim=feature_dim,
+        feature_out_dim=feature_out_dim,
+        strategy=strategy,
+        init_type=init_type,
+        sh_degree=sh_degree,
+        test_every=test_every,
+        depth_loss=depth_loss,
+        steps_scaler=steps_scaler,
+        seed=seed,
+    ).adjust_steps()
+
+    os.makedirs(result_dir, exist_ok=True)
+    parser = Parser(
+        data_dir, factor=data_factor,
+        normalize=cfg.normalize_world_space, test_every=test_every,
+    )
+    trainset = Dataset(parser, "train", load_depths=depth_loss)
+    valset = Dataset(parser, "val")
+    sample = trainset[0]
+    height, width = sample["image"].shape[:2]
+
+    if cfg.init_type == "sfm" and len(parser.points):
+        scene = init_scene_from_points(
+            parser.points, parser.points_rgb, cfg, parser.scene_scale
+        )
+    else:
+        scene = init_scene_random(cfg, parser.scene_scale)
+
+    encoder = get_encoder(teacher) if feature_dim else None
+    trainer = Trainer(
+        cfg, scene, parser.scene_scale,
+        teacher=encoder, width=width, height=height,
+    )
+
+    rng = np.random.default_rng(seed)
+    t0 = time.time()
+    for step in range(cfg.max_steps):
+        data = trainset[int(rng.integers(0, len(trainset)))]
+        feats = (
+            encoder(jnp.asarray(data["image"])) if encoder is not None else None
+        )
+        stats = trainer.train_step(data, teacher_feats=feats)
+        if step % 100 == 0:
+            rate = (step + 1) / (time.time() - t0)
+            print(
+                f"step {step} loss {stats['loss']:.4f} l1 {stats['l1']:.4f} "
+                f"feat {stats['feature_l1']:.4f} "
+                f"N {trainer.scene.num_gaussians} {rate:.2f} it/s",
+                flush=True,
+            )
+        if eval_every and step > 0 and step % eval_every == 0:
+            metrics = trainer.evaluate(valset)
+            print(f"eval @ {step}: {metrics}", flush=True)
+            trainer.save_stats(
+                metrics, os.path.join(result_dir, f"stats/val_step{step}.json")
+            )
+        if save_every and step > 0 and step % save_every == 0:
+            trainer.save_checkpoint(
+                os.path.join(result_dir, f"ckpts/ckpt_{step}.npz")
+            )
+
+    metrics = trainer.evaluate(valset)
+    print("final eval:", metrics)
+    trainer.save_stats(
+        metrics, os.path.join(result_dir, "stats/val_final.json")
+    )
+    trainer.save_checkpoint(
+        os.path.join(result_dir, f"ckpts/ckpt_{cfg.max_steps - 1}.npz")
+    )
+    try:
+        trainer.render_traj(
+            np.asarray(sample["K"]),
+            os.path.join(result_dir, "traj.gif"),
+            n_frames=30,
+        )
+    except Exception as e:  # trajectory is a nicety, not a gate
+        print("render_traj failed:", e)
+    return trainer
+
+
+if __name__ == "__main__":
+    from tpugs.utils.cli import cli
+
+    cli(main)

@@ -1,0 +1,97 @@
+"""Trainer configuration (reference ``f3dgs/simple_trainer_feature_3dgs.py``
+``Config`` dataclass, ``:47-172``), including the ``adjust_steps`` schedule
+scaler (``:155-172``)."""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    # data
+    data_dir: str = "./data/garden"
+    data_factor: int = 4
+    result_dir: str = "./results/garden"
+    test_every: int = 8
+    patch_size: Optional[int] = None
+    normalize_world_space: bool = True
+
+    # training
+    max_steps: int = 30_000
+    batch_size: int = 1
+    steps_scaler: float = 1.0
+    eval_steps: List[int] = dataclasses.field(
+        default_factory=lambda: [7_000, 30_000]
+    )
+    save_steps: List[int] = dataclasses.field(
+        default_factory=lambda: [7_000, 30_000]
+    )
+
+    # model
+    init_type: str = "sfm"  # sfm | random
+    init_num_pts: int = 100_000
+    init_extent: float = 3.0
+    sh_degree: int = 3
+    sh_degree_interval: int = 1000
+    init_opa: float = 0.1
+    init_scale: float = 1.0
+    feature_dim: int = 128  # per-Gaussian latent feature size
+    feature_out_dim: int = 512  # teacher feature size (LSeg 512)
+
+    # loss weights (reference :602-644)
+    ssim_lambda: float = 0.2
+    feature_lambda: float = 1.0
+    depth_loss: bool = False
+    depth_lambda: float = 0.01
+    opacity_reg: float = 0.0
+    scale_reg: float = 0.0
+
+    # learning rates (reference create_splats_with_optimizers :233-254)
+    means_lr: float = 1.6e-4
+    scales_lr: float = 5e-3
+    opacities_lr: float = 5e-2
+    quats_lr: float = 1e-3
+    sh0_lr: float = 2.5e-3
+    shN_lr: float = 2.5e-3 / 20
+    features_lr: float = 2.5e-3
+    conv_lr: float = 2.5e-3
+
+    # densification (reference DefaultStrategy knobs)
+    strategy: str = "default"  # default | mcmc | none
+    refine_start_iter: int = 500
+    refine_stop_iter: int = 15_000
+    refine_every: int = 100
+    grow_grad2d: float = 0.0002
+    grow_scale3d: float = 0.01
+    prune_opa: float = 0.005
+    prune_scale3d: float = 0.1
+    reset_every: int = 3000
+
+    # rendering
+    near_plane: float = 0.01
+    far_plane: float = 1e10
+    antialiased: bool = False
+
+    # misc
+    seed: int = 42
+    tb_every: int = 100
+    disable_viewer: bool = True
+
+    def adjust_steps(self, factor: Optional[float] = None) -> "TrainConfig":
+        """Scale every schedule by steps_scaler (reference ``:155-172``)."""
+        f = self.steps_scaler if factor is None else factor
+        if f == 1.0:
+            return self
+        return dataclasses.replace(
+            self,
+            max_steps=int(self.max_steps * f),
+            eval_steps=[int(s * f) for s in self.eval_steps],
+            save_steps=[int(s * f) for s in self.save_steps],
+            sh_degree_interval=int(self.sh_degree_interval * f),
+            refine_start_iter=int(self.refine_start_iter * f),
+            refine_stop_iter=int(self.refine_stop_iter * f),
+            refine_every=int(self.refine_every * f),
+            reset_every=int(self.reset_every * f),
+        )

@@ -1,0 +1,454 @@
+"""Feature-3DGS trainer (reference ``f3dgs/simple_trainer_feature_3dgs.py``):
+joint RGB + feature-field distillation with per-group Adam, lr·√batch
+scaling, exponential means-lr decay, SH-degree schedule, optional depth
+loss and opacity/scale regularizers, densification strategies, PSNR/SSIM
+eval, checkpointing, and trajectory videos.
+
+TPU-first structure: the whole train step (plan + double render + losses
++ grads + optax update) is ONE jitted function with static size buckets;
+densification runs host-side between steps with capacity re-bucketing
+(see ``strategy.py``). Screen-space gradient stats for densification are
+captured with a zero ``offset2d`` parameter whose gradient IS dL/dmean2d
+(no autograd hooks needed, unlike the torch reference)."""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+import time
+from typing import Callable, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from tpugs.core.scene import GaussianScene, pad_count
+from tpugs.raster import sh as sh_mod
+from tpugs.raster.binning import bucket, build_tile_binning, cdiv
+from tpugs.raster.projection import (
+    ProjectionConfig,
+    Projected,
+    project,
+    view_directions,
+)
+from tpugs.raster.tiled import TileConfig, render_tiled
+from tpugs.train.config import TrainConfig
+from tpugs.train.metrics import psnr, ssim, ssim_loss
+from tpugs.train.strategy import GradState, make_strategy
+
+
+def knn_mean_dist(points: np.ndarray, k: int = 4) -> np.ndarray:
+    """Mean distance to the k nearest neighbors (init scales, reference
+    ``utils_simple_trainer.py:141-145``)."""
+    from scipy.spatial import cKDTree
+
+    tree = cKDTree(points)
+    d, _ = tree.query(points, k=k)
+    return d[:, 1:].mean(axis=1)
+
+
+def rgb_to_sh(rgb: np.ndarray) -> np.ndarray:
+    """(…, 3) color -> DC SH coefficient (reference ``:148-150``)."""
+    C0 = 0.28209479177387814
+    return (rgb - 0.5) / C0
+
+
+def init_scene_from_points(
+    points: np.ndarray,
+    rgbs: np.ndarray,
+    cfg: TrainConfig,
+    scene_scale: float = 1.0,
+) -> GaussianScene:
+    """SfM initialization (reference ``create_splats_with_optimizers``
+    ``:175-232``): positions from points, scales from kNN distances,
+    random rotations, DC colors from point RGB."""
+    n = len(points)
+    rng = np.random.default_rng(cfg.seed)
+    if n >= 4:
+        dist = np.clip(knn_mean_dist(points), 1e-7, None) * cfg.init_scale
+    else:
+        dist = np.full(n, 0.02, np.float32)
+    log_scales = np.log(np.repeat(dist[:, None], 3, axis=1)).astype(np.float32)
+    quats = rng.normal(size=(n, 4)).astype(np.float32)
+    opac = np.full(n, cfg.init_opa, np.float32)
+    logit_opa = np.log(opac / (1 - opac)).astype(np.float32)
+    k_rest = (cfg.sh_degree + 1) ** 2 - 1
+    sh0 = rgb_to_sh(rgbs).astype(np.float32)[:, None, :]
+    shN = np.zeros((n, k_rest, 3), np.float32)
+    features = (
+        rng.normal(size=(n, cfg.feature_dim)).astype(np.float32) * 0.01
+        if cfg.feature_dim
+        else None
+    )
+    proj = (
+        rng.normal(size=(cfg.feature_dim, cfg.feature_out_dim)).astype(
+            np.float32
+        )
+        * (1.0 / np.sqrt(cfg.feature_dim))
+        if cfg.feature_dim
+        else None
+    )
+    return GaussianScene(
+        means=jnp.asarray(points, jnp.float32),
+        quats=jnp.asarray(quats),
+        log_scales=jnp.asarray(log_scales),
+        logit_opacities=jnp.asarray(logit_opa),
+        sh0=jnp.asarray(sh0),
+        shN=jnp.asarray(shN),
+        features=None if features is None else jnp.asarray(features),
+        feature_proj=None if proj is None else jnp.asarray(proj),
+    )
+
+
+def init_scene_random(cfg: TrainConfig, scene_scale: float = 1.0):
+    rng = np.random.default_rng(cfg.seed)
+    pts = (
+        rng.uniform(-1, 1, (cfg.init_num_pts, 3)) * cfg.init_extent * scene_scale
+    )
+    rgbs = rng.uniform(0, 1, (cfg.init_num_pts, 3))
+    return init_scene_from_points(pts, rgbs, cfg, scene_scale)
+
+
+def make_optimizer(cfg: TrainConfig, scene_scale: float, batch_size: int = 1):
+    """Per-parameter-group Adam with lr·√BS scaling and exponential decay
+    on means (reference ``:233-254`` + ``:503-508``)."""
+    bs_scale = float(np.sqrt(batch_size))
+    means_schedule = optax.exponential_decay(
+        init_value=cfg.means_lr * scene_scale * bs_scale,
+        transition_steps=cfg.max_steps,
+        decay_rate=0.01,
+    )
+    field_to_label = {
+        "means": "means",
+        "quats": "quats",
+        "log_scales": "scales",
+        "logit_opacities": "opacities",
+        "sh0": "sh0",
+        "shN": "shN",
+        "features": "features",
+        "feature_proj": "conv",
+    }
+
+    def label_fn(params):
+        return jax.tree_util.tree_map_with_path(
+            lambda path, _: field_to_label[path[0].name], params
+        )
+
+    txs = {
+        "means": optax.adam(means_schedule, eps=1e-15),
+        "scales": optax.adam(cfg.scales_lr * bs_scale, eps=1e-15),
+        "opacities": optax.adam(cfg.opacities_lr * bs_scale, eps=1e-15),
+        "quats": optax.adam(cfg.quats_lr * bs_scale, eps=1e-15),
+        "sh0": optax.adam(cfg.sh0_lr * bs_scale, eps=1e-15),
+        "shN": optax.adam(cfg.shN_lr * bs_scale, eps=1e-15),
+        "features": optax.adam(cfg.features_lr * bs_scale, eps=1e-15),
+        "conv": optax.adam(cfg.conv_lr * bs_scale, eps=1e-15),
+    }
+    return optax.multi_transform(txs, label_fn)
+
+
+class Trainer:
+    """Single-host trainer. For multi-chip, wrap the step with the mesh
+    machinery in ``tpugs/dist`` (DP over cameras + gauss sharding)."""
+
+    def __init__(
+        self,
+        cfg: TrainConfig,
+        scene: GaussianScene,
+        scene_scale: float = 1.0,
+        teacher: Optional[Callable] = None,  # (H, W, 3) -> (H, W, D_out)
+        width: int = 0,
+        height: int = 0,
+    ):
+        self.cfg = cfg
+        self.scene = scene
+        self.scene_scale = scene_scale
+        self.teacher = teacher
+        self.width = width
+        self.height = height
+        self.optimizer = make_optimizer(cfg, scene_scale, cfg.batch_size)
+        self.opt_state = self.optimizer.init(scene)
+        self.strategy = make_strategy(cfg, scene_scale, cfg.seed)
+        self.grad_state = GradState.zeros(scene.num_gaussians)
+        self.step = 0
+        self._sizes: Optional[Tuple[int, int]] = None  # (max_cover, max_blocks)
+        self.proj_config = ProjectionConfig(
+            near_plane=cfg.near_plane,
+            far_plane=cfg.far_plane,
+            antialiased=cfg.antialiased,
+        )
+        self.tile_config = TileConfig()
+
+    # ------------------------------------------------------------ sizing
+    def _estimate_sizes(self, viewmats, Ks, margin: float = 1.5):
+        from tpugs.raster.api import plan_render
+
+        mc, mb = 1, 1
+        for c in range(min(4, viewmats.shape[0])):
+            plan = plan_render(
+                self.scene.means, self.scene.quats, self.scene.scales,
+                self.scene.opacities, viewmats[c], Ks[c],
+                self.width, self.height, self.proj_config, self.tile_config,
+            )
+            mc = max(mc, plan.sorted_gid.shape[0] // self.scene.num_gaussians)
+            mb = max(mb, plan.max_blocks)
+        self._sizes = (bucket(int(mc * margin)), bucket(int(mb * margin)))
+
+    # --------------------------------------------------------- train step
+    def _loss_fn(
+        self, scene: GaussianScene, offset2d, viewmat, K, image,
+        teacher_feats, points, point_depths, sh_degree, sizes,
+    ):
+        cfg = self.cfg
+        max_cover, max_blocks = sizes
+        proj = project(
+            scene.means, scene.quats, scene.scales, scene.opacities,
+            viewmat, K, self.width, self.height, self.proj_config,
+        )
+        # Screen-gradient probe for densification: offset2d is zero, but
+        # d loss / d offset2d == d loss / d means2d (the stat gsplat
+        # collects with autograd hooks on means2d).
+        proj = Projected(
+            proj.means2d + offset2d, proj.conics, proj.depths,
+            proj.radii, proj.opacities, proj.valid,
+        )
+        binning = build_tile_binning(
+            proj, self.tile_config.tile_size, self.width, self.height,
+            max_cover,
+        )
+        order = binning.order
+        opac = jnp.where(proj.valid, proj.opacities, 0.0)
+        dirs = view_directions(scene.means, viewmat)
+        colors = sh_mod.sh_to_color(scene.colors_all, dirs, sh_degree)
+        chans = [colors]
+        if cfg.depth_loss:
+            chans.append(proj.depths[:, None])
+        if scene.features is not None:
+            chans.append(scene.features)
+        allc = jnp.concatenate(chans, axis=-1)
+        img, alpha = render_tiled(
+            proj.means2d[order], proj.conics[order], opac[order],
+            allc[order], binning.sorted_gid, binning.tile_starts,
+            self.width, self.height, max_blocks, self.tile_config,
+        )
+        rgb = img[..., :3]
+        off = 3
+        l1 = jnp.mean(jnp.abs(rgb - image))
+        dssim = ssim_loss(rgb, image)
+        loss = (1.0 - cfg.ssim_lambda) * l1 + cfg.ssim_lambda * dssim
+
+        depth_l = jnp.float32(0.0)
+        if cfg.depth_loss:
+            depth_img = img[..., off : off + 1]
+            off += 1
+            if points is not None:
+                xy = points.astype(jnp.int32)
+                pred = depth_img[xy[:, 1], xy[:, 0], 0]
+                # disparity L1 (reference :613-631)
+                depth_l = jnp.mean(
+                    jnp.abs(
+                        1.0 / jnp.maximum(pred, 1e-6)
+                        - 1.0 / jnp.maximum(point_depths, 1e-6)
+                    )
+                )
+                loss = loss + cfg.depth_lambda * depth_l
+
+        feat_l = jnp.float32(0.0)
+        if scene.features is not None and teacher_feats is not None:
+            feat_img = img[..., off : off + scene.features.shape[-1]]
+            feat_full = feat_img @ scene.feature_proj  # (H, W, D_out)
+            feat_l = jnp.mean(jnp.abs(feat_full - teacher_feats))
+            loss = loss + cfg.feature_lambda * feat_l
+
+        if cfg.opacity_reg > 0:
+            loss = loss + cfg.opacity_reg * jnp.mean(scene.opacities)
+        if cfg.scale_reg > 0:
+            loss = loss + cfg.scale_reg * jnp.mean(scene.scales)
+
+        aux = {
+            "l1": l1,
+            "ssim_loss": dssim,
+            "feature_l1": feat_l,
+            "depth_l": depth_l,
+            "visible": proj.valid,
+        }
+        return loss, aux
+
+    @functools.partial(
+        jax.jit, static_argnames=("self", "sh_degree", "sizes", "with_depth")
+    )
+    def _train_step_jit(
+        self, scene, opt_state, viewmat, K, image, teacher_feats,
+        points, point_depths, sh_degree, sizes, with_depth,
+    ):
+        def lf(s, off):
+            return self._loss_fn(
+                s, off, viewmat, K, image, teacher_feats,
+                points if with_depth else None,
+                point_depths if with_depth else None,
+                sh_degree, sizes,
+            )
+
+        offset0 = jnp.zeros((scene.num_gaussians, 2), jnp.float32)
+        (loss, aux), (grads, goff) = jax.value_and_grad(
+            lf, argnums=(0, 1), has_aux=True
+        )(scene, offset0)
+        grad2d = jnp.linalg.norm(goff, axis=1)
+        updates, opt_state = self.optimizer.update(grads, opt_state, scene)
+        scene = optax.apply_updates(scene, updates)
+        stats = {
+            "loss": loss,
+            **{k: v for k, v in aux.items() if k != "visible"},
+            "grad2d": grad2d,
+            "visible": aux["visible"],
+        }
+        return scene, opt_state, stats
+
+    def train_step(self, batch: dict, teacher_feats=None) -> dict:
+        cfg = self.cfg
+        if self._sizes is None:
+            self._estimate_sizes(
+                np.asarray(batch["viewmat"])[None], np.asarray(batch["K"])[None]
+            )
+        sh_degree = min(
+            self.step // cfg.sh_degree_interval, cfg.sh_degree
+        )
+        with_depth = cfg.depth_loss and "points" in batch
+        pts = batch.get("points")
+        dep = batch.get("depths")
+        if with_depth:
+            cap = 4096
+            pts = np.zeros((cap, 2), np.float32)
+            dep = np.ones((cap,), np.float32)
+            m = min(cap, len(batch["points"]))
+            pts[:m] = batch["points"][:m]
+            dep[:m] = batch["depths"][:m]
+        self.scene, self.opt_state, stats = self._train_step_jit(
+            self.scene,
+            self.opt_state,
+            jnp.asarray(batch["viewmat"]),
+            jnp.asarray(batch["K"]),
+            jnp.asarray(batch["image"]),
+            None if teacher_feats is None else jnp.asarray(teacher_feats),
+            None if pts is None else jnp.asarray(pts),
+            None if dep is None else jnp.asarray(dep),
+            sh_degree,
+            self._sizes,
+            with_depth,
+        )
+        if self.strategy is not None:
+            self.grad_state.accumulate(
+                np.asarray(stats["grad2d"]), np.asarray(stats["visible"])
+            )
+            if (
+                cfg.refine_start_iter <= self.step < cfg.refine_stop_iter
+                and self.step % cfg.refine_every == 0
+                and self.step > 0
+            ):
+                self.refine()
+            if (
+                self.step > 0
+                and cfg.reset_every > 0
+                and self.step % cfg.reset_every == 0
+            ):
+                self.scene = self.strategy.reset_opacities(self.scene)
+        self.step += 1
+        return {
+            k: float(v)
+            for k, v in stats.items()
+            if k not in ("grad2d", "visible")
+        }
+
+    def refine(self):
+        new_scene, new_state, info = self.strategy.refine(
+            self.scene, self.grad_state
+        )
+        self.scene, self.grad_state = new_scene, new_state
+        # re-init optimizer state for the new N (reference re-creates the
+        # param groups on refine as gsplat strategies do)
+        self.opt_state = self.optimizer.init(self.scene)
+        self._sizes = None  # re-estimate buckets
+        return info
+
+    # ---------------------------------------------------------------- eval
+    def render_eval(self, viewmat, K, sh_degree: Optional[int] = None):
+        from tpugs.raster.api import plan_render, rasterize_with_plan
+
+        deg = self.scene.sh_degree if sh_degree is None else sh_degree
+        plan = plan_render(
+            self.scene.means, self.scene.quats, self.scene.scales,
+            self.scene.opacities, jnp.asarray(viewmat), jnp.asarray(K),
+            self.width, self.height, self.proj_config, self.tile_config,
+        )
+        return rasterize_with_plan(
+            self.scene.means, self.scene.quats, self.scene.scales,
+            self.scene.opacities, self.scene.colors_all,
+            jnp.asarray(viewmat), jnp.asarray(K), plan, sh_degree=deg,
+        )
+
+    def evaluate(self, dataset, max_images: Optional[int] = None) -> dict:
+        psnrs, ssims, times = [], [], []
+        n = len(dataset) if max_images is None else min(max_images, len(dataset))
+        for i in range(n):
+            data = dataset[i]
+            t0 = time.time()
+            img, _ = self.render_eval(data["viewmat"], data["K"])
+            img = jnp.clip(img, 0, 1)
+            times.append(time.time() - t0)
+            gt = jnp.asarray(data["image"])
+            psnrs.append(float(psnr(img, gt)))
+            ssims.append(float(ssim(img, gt)))
+        return {
+            "psnr": float(np.mean(psnrs)) if psnrs else 0.0,
+            "ssim": float(np.mean(ssims)) if ssims else 0.0,
+            "ellipse_time": float(np.mean(times)) if times else 0.0,
+            "num_GS": self.scene.num_gaussians,
+        }
+
+    # ------------------------------------------------------------- outputs
+    def save_checkpoint(self, path: str):
+        from tpugs.io.checkpoints import save_scene_npz
+
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        save_scene_npz(self.scene, path)
+
+    def save_stats(self, stats: dict, path: str):
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        with open(path, "w") as fh:
+            json.dump(stats, fh)
+
+    def render_traj(self, Ks, output_path: str, n_frames: int = 60):
+        """Ellipse trajectory video frames (reference ``:858-909``)."""
+        from tpugs.train.traj import c2w_to_viewmat, generate_ellipse_path_z
+        from tpugs.viz.gif import save_gif
+        from tpugs.viz.common import to_uint8
+
+        # derive poses from nothing: orbit around scene bbox via means
+        center = np.asarray(jnp.mean(self.scene.means, axis=0))
+        r = float(jnp.percentile(
+            jnp.linalg.norm(self.scene.means - center, axis=1), 90
+        ))
+        t = np.linspace(0, 2 * np.pi, 8, endpoint=False)
+        poses = np.stack(
+            [
+                np.concatenate(
+                    [np.eye(3), (center + 2.5 * r * np.array(
+                        [np.cos(a), -0.4, np.sin(a)]
+                    ))[:, None]],
+                    axis=1,
+                )
+                for a in t
+            ]
+        )
+        path = generate_ellipse_path_z(poses, n_frames=n_frames)
+        frames = []
+        K = jnp.asarray(Ks[0]) if Ks.ndim == 3 else jnp.asarray(Ks)
+        for c2w in path:
+            vm = c2w_to_viewmat(c2w)
+            img, _ = self.render_eval(vm, K)
+            frames.append(to_uint8(img))
+        if output_path:
+            save_gif(frames, output_path)
+        return frames
