@@ -1,0 +1,181 @@
+"""Interactive app cores (headless): viewer state math, click-prompt
+session, LLM-editor command parsing + dispatch."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from tpugs.apps.click_and_segment import (
+    PromptSession,
+    project_point,
+    unproject_pixel,
+)
+from tpugs.apps.viewer import (
+    Viewer,
+    ViewerState,
+    estimate_scene_frame,
+    render_frame,
+)
+from tpugs.apps.viewer_llm import (
+    Assistant,
+    SceneEditor,
+    parse_rule_based,
+)
+from tpugs.encoders.base import LinearRGBEncoder
+from tpugs.lift.backproject import create_feature_field
+from tpugs.utils.synthetic import orbit_cameras, random_scene
+
+W, H = 48, 32
+
+
+def test_viewer_state_viewmat_identity():
+    st = ViewerState()
+    np.testing.assert_allclose(st.viewmat(), np.eye(4), atol=1e-7)
+
+
+def test_viewer_state_dolly_and_canonical():
+    st = ViewerState()
+    st.dolly("w")
+    assert st.z == -0.1
+    frame = np.eye(3)
+    st.set_canonical("top", frame, dist=2.0)
+    vm = st.viewmat()
+    assert vm[2, 3] == 2.0
+    R = vm[:3, :3]
+    np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-6)
+
+
+def test_viewer_orbit_preserves_pivot():
+    st = ViewerState()
+    pivot_world = np.array([0, 0, 3.0])  # at pivot depth in front
+    before = st.viewmat()[:3, :3] @ pivot_world + st.viewmat()[:3, 3]
+    st.orbit(30.0, 10.0, pivot_depth=3.0)
+    after = st.viewmat()[:3, :3] @ pivot_world + st.viewmat()[:3, 3]
+    np.testing.assert_allclose(after, before, atol=1e-6)
+
+
+def test_estimate_scene_frame_orthonormal():
+    cams = orbit_cameras(6, W, H, radius=3.0)
+    frame = estimate_scene_frame(np.asarray(cams.viewmats))
+    np.testing.assert_allclose(frame @ frame.T, np.eye(3), atol=1e-5)
+
+
+def test_render_frame_and_anaglyph():
+    scene = random_scene(60, seed=0, extent=0.8, scale_range=(0.02, 0.1))
+    cams = orbit_cameras(1, W, H, radius=2.5)
+    vm = np.asarray(cams.viewmats[0])
+    K = np.asarray(cams.Ks[0])
+    f = render_frame(scene, vm, K, W, H)
+    assert f.shape == (H, W, 3) and f.dtype == np.uint8
+    fa = render_frame(scene, vm, K, W, H, anaglyph=True)
+    assert fa.shape == (H, W, 3)
+    assert not np.array_equal(f, fa)  # stereo offset changes channels
+
+
+def test_viewer_key_handling():
+    scene = random_scene(10, seed=0)
+    cams = orbit_cameras(2, W, H)
+    v = Viewer(scene, np.asarray(cams.Ks[0]), W, H,
+               viewmats=np.asarray(cams.viewmats))
+    assert v.handle_key("w") and v.handle_key("1") and v.handle_key("g")
+    assert v.anaglyph
+    assert not v.handle_key("q")
+
+
+def test_unproject_project_roundtrip():
+    cams = orbit_cameras(1, W, H, radius=3.0)
+    vm = np.asarray(cams.viewmats[0])
+    K = np.asarray(cams.Ks[0])
+    p = unproject_pixel(20.0, 15.0, 2.5, vm, K)
+    uv = project_point(p, vm, K)
+    assert uv == (20, 15)
+
+
+def _session():
+    scene = random_scene(80, seed=0, extent=0.8, scale_range=(0.02, 0.1))
+    cams = orbit_cameras(2, W, H, radius=2.5)
+    feats = create_feature_field(
+        scene, cams, LinearRGBEncoder(feature_dim=6), verbose=False
+    )
+    return PromptSession(scene, feats), cams
+
+
+def test_prompt_session_click_and_mask():
+    session, cams = _session()
+    vm = np.asarray(cams.viewmats[0])
+    K = np.asarray(cams.Ks[0])
+    rgbd, feat_img = session.render_rgbd_features(vm, K, W, H)
+    assert rgbd.shape == (H, W, 4) and feat_img.shape == (H, W, 6)
+    # click the densest pixel
+    a = rgbd[..., 3]
+    y, x = np.unravel_index(np.argmax(np.isfinite(a) * (a > 0) * 1.0), a.shape)
+    session.add_click(int(x), int(y), rgbd, feat_img, vm, K, positive=True)
+    session.add_click(0, 0, rgbd, feat_img, vm, K, positive=False)
+    mask = session.mask3d()
+    assert mask is not None and mask.dtype == bool
+    pane = session.three_pane(vm, K, W, H)
+    assert pane.shape == (H, 3 * W, 3)
+
+
+def test_prompt_removal():
+    session, cams = _session()
+    vm = np.asarray(cams.viewmats[0])
+    K = np.asarray(cams.Ks[0])
+    rgbd, feat_img = session.render_rgbd_features(vm, K, W, H)
+    session.add_click(24, 16, rgbd, feat_img, vm, K)
+    assert len(session.prompts) == 1
+    removed = session.remove_nearest(25, 17, vm, K)
+    assert removed == 0 and len(session.prompts) == 0
+
+
+def test_rule_based_parser():
+    assert parse_rule_based("show me the top view") == {
+        "command": "change_view", "view": "top",
+    }
+    assert parse_rule_based("segment out the table")["command"] == "segment"
+    assert parse_rule_based("segment out the table")["object"] == "table"
+    c = parse_rule_based("make the vase red")
+    assert c["command"] == "change_color" and c["color"] == "red"
+    assert "vase" in c["object"]
+    assert parse_rule_based("undo the segmentation") == {
+        "command": "reset_segmentation"
+    }
+    assert parse_rule_based("quit") == {"command": "exit"}
+    assert parse_rule_based("blargh") == {"command": "unknown"}
+
+
+def test_assistant_llm_backend_with_fallback():
+    a = Assistant(llm=lambda prompt: 'noise {"command": "exit"} trailing')
+    assert a.ask("whatever") == {"command": "exit"}
+    a_bad = Assistant(llm=lambda prompt: "not json at all")
+    assert a_bad.ask("quit")["command"] == "exit"  # falls back to rules
+
+
+def test_scene_editor_dispatch():
+    scene = random_scene(40, seed=1)
+    feats = jnp.asarray(
+        np.random.default_rng(0).normal(size=(40, 6)).astype(np.float32)
+    )
+    # exemplar lookup: "table" -> feature of Gaussian 0
+    editor = SceneEditor(
+        scene, feats,
+        exemplar_lookup=lambda name: np.asarray(feats[0]),
+    )
+    r = editor.apply({"command": "segment", "object": "table"})
+    assert r["status"] == "ok" and r["selected"] > 0
+    assert not np.allclose(
+        np.asarray(editor.scene.opacities), np.asarray(scene.opacities)
+    )
+    r = editor.apply({"command": "reset_segmentation"})
+    np.testing.assert_allclose(
+        np.asarray(editor.scene.opacities), np.asarray(scene.opacities)
+    )
+    r = editor.apply(
+        {"command": "change_color", "object": "table", "color": "red"}
+    )
+    assert r["status"] == "ok"
+    r = editor.apply({"command": "reset_color"})
+    np.testing.assert_allclose(
+        np.asarray(editor.scene.sh0), np.asarray(scene.sh0)
+    )
+    assert editor.apply({"command": "change_view", "view": "top"})["view"] == "top"
+    assert editor.apply({"command": "exit"})["status"] == "exit"
