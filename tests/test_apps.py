@@ -130,3 +130,50 @@ def test_train_cli_end_to_end(tmp_path):
     assert trainer.step == 8
     assert os.path.exists(str(tmp_path / "out" / "ckpts" / "ckpt_7.npz"))
     assert os.path.exists(str(tmp_path / "out" / "stats" / "val_final.json"))
+
+
+def test_compressed_backproject_cli(tmp_path):
+    """Codec-compressed lifting (reference backproject_compressed.py):
+    train a tiny codec, lift through it, verify 16-d output."""
+    import jax.numpy as jnp
+
+    from tpugs.apps.backproject_compressed import main as compressed_main
+    from tpugs.codec.linear import save_codec, train_codec
+
+    data_dir, ckpt = _make_dataset(tmp_path, n=60, n_cams=2)
+    results = str(tmp_path / "results")
+    os.makedirs(results, exist_ok=True)
+    rng = np.random.default_rng(0)
+    emb = rng.normal(size=(30, 16)).astype(np.float32)
+    codec, _ = train_codec(jnp.asarray(emb), d_lat=4, steps=200, lr=1e-2)
+    codec_path = os.path.join(results, "codec.npz")
+    save_codec(codec, codec_path)
+
+    feats = compressed_main(
+        data_dir=data_dir, checkpoint=ckpt, results_dir=results,
+        codec_path=codec_path, format="gsplat", data_factor=1,
+        feature="linear:16", skip_prune=True,
+    )
+    assert feats.shape[1] == 4
+    assert os.path.exists(
+        os.path.join(results, "features_linear:16_compressed.npz")
+    )
+
+
+def test_visualize_pca_cli(tmp_path):
+    from tpugs.apps.backproject import main as backproject_main
+    from tpugs.apps.visualize_pca import main as pca_main
+
+    data_dir, ckpt = _make_dataset(tmp_path, n=60, n_cams=2)
+    results = str(tmp_path / "results")
+    backproject_main(
+        data_dir=data_dir, checkpoint=ckpt, results_dir=results,
+        format="gsplat", data_factor=1, feature="linear:8",
+        skip_prune=True, batch=False,
+    )
+    pca_main(
+        data_dir=data_dir, checkpoint=ckpt, results_dir=results,
+        format="gsplat", data_factor=1, feature="linear:8", skip_prune=True,
+    )
+    assert os.path.exists(os.path.join(results, "pca_gaussian.gif"))
+    assert os.path.exists(os.path.join(results, "pca_frame.gif"))

@@ -1,0 +1,63 @@
+"""CLI: compressed (16-d) feature back-projection (reference
+``backproject_compressed.py:39-218``): per-pixel teacher features pass
+through the trained linear encoder (512->16) BEFORE lifting, so the
+per-Gaussian accumulators are Nx16 instead of Nx512 — a 32x memory/
+bandwidth cut on the dominant data structure."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+
+
+class CompressedEncoder:
+    """Wraps a 2D encoder with the linear codec (feats @ encoder,
+    reference ``backproject_compressed.py:127``)."""
+
+    def __init__(self, inner, codec):
+        self.inner = inner
+        self.codec = codec
+        self.feature_dim = codec.encoder.shape[1]
+
+    def __call__(self, image):
+        return self.inner(image) @ self.codec.encoder
+
+
+def main(
+    data_dir: str = "./data/garden",
+    checkpoint: str = "./data/garden/ckpts/ckpt_29999_rank0.pt",
+    results_dir: str = "./results/garden",
+    codec_path: str = "./results/garden/encoder_decoder.npz",
+    format: str = "gsplat",
+    data_factor: int = 4,
+    feature: str = "lseg",
+    skip_prune: bool = False,
+):
+    from tpugs.codec.linear import load_codec
+    from tpugs.encoders import get_encoder
+    from tpugs.io.checkpoints import load_checkpoint
+    from tpugs.lift.backproject import create_feature_field
+    from tpugs.lift.prune import prune_by_gradients, verify_pruning_equivalence
+
+    os.makedirs(results_dir, exist_ok=True)
+    scene, cams, _ = load_checkpoint(checkpoint, data_dir, format, data_factor)
+    if not skip_prune:
+        pruned = prune_by_gradients(scene, cams)
+        verify_pruning_equivalence(scene, pruned, cams)
+        scene = pruned
+
+    codec = load_codec(codec_path)
+    encoder = CompressedEncoder(get_encoder(feature), codec)
+    features = create_feature_field(scene, cams, encoder)
+    out = os.path.join(results_dir, f"features_{feature}_compressed.npz")
+    np.savez(out, features=np.asarray(features))
+    print("Saved", out, features.shape)
+    return features
+
+
+if __name__ == "__main__":
+    from tpugs.utils.cli import cli
+
+    cli(main)
