@@ -1,5 +1,9 @@
 """CLI: open-vocabulary 3D segmentation + scene editing + GIF outputs.
 
+Covers the reference's ``segment.py``, ``segment_compressed.py`` (point
+it at a compressed feature file) and ``segment_f3dgs.py`` (--f3dgs uses
+the trained latent field @ conv).
+
 Counterpart of the reference ``segment.py:261-311``: load + prune +
 verify, load lifted features, build a text-query 3D mask, emit
 mask-overlay / extracted / deleted GIFs, optionally export edited
@@ -29,6 +33,7 @@ def main(
     neg_idx: str = "",
     data_factor: int = 4,
     feature: str = "lseg",
+    f3dgs: bool = False,
     export_checkpoint: bool = False,
     skip_prune: bool = False,
 ):
@@ -45,10 +50,19 @@ def main(
         verify_pruning_equivalence(scene, pruned, cams)
         scene = pruned
 
-    feats = np.load(os.path.join(results_dir, f"features_{feature}.npz"))[
-        "features"
-    ]
-    features = jnp.asarray(feats)
+    if f3dgs:
+        # Feature-3DGS checkpoint: expand the trained latent field through
+        # the shared projection (reference segment_f3dgs.py:26-61 scores
+        # `features @ conv` against text embeddings).
+        assert scene.features is not None and scene.feature_proj is not None, (
+            "--f3dgs needs a checkpoint trained with a feature field"
+        )
+        features = scene.features @ scene.feature_proj
+    else:
+        feats = np.load(
+            os.path.join(results_dir, f"features_{feature}.npz")
+        )["features"]
+        features = jnp.asarray(feats)
 
     if pos_idx:
         pos_q = features[jnp.asarray([int(i) for i in pos_idx.split(",")])]

@@ -180,6 +180,25 @@ class Trainer:
             antialiased=cfg.antialiased,
         )
         self.tile_config = TileConfig()
+        self._tb = None
+
+    # ------------------------------------------------------- observability
+    def enable_tensorboard(self, log_dir: str):
+        """Scalar/image logging (reference TensorBoard at ``:284,667-680``).
+        Uses torch's SummaryWriter (host-side only)."""
+        from torch.utils.tensorboard import SummaryWriter
+
+        self._tb = SummaryWriter(log_dir=log_dir)
+        return self._tb
+
+    def log_scalars(self, stats: dict, step: Optional[int] = None):
+        if self._tb is None:
+            return
+        step = self.step if step is None else step
+        for k, v in stats.items():
+            if np.isscalar(v) or (hasattr(v, "ndim") and getattr(v, "ndim", 1) == 0):
+                self._tb.add_scalar(f"train/{k}", float(v), step)
+        self._tb.add_scalar("train/num_GS", self.scene.num_gaussians, step)
 
     # ------------------------------------------------------------ sizing
     def _estimate_sizes(self, viewmats, Ks, margin: float = 1.5):
@@ -355,11 +374,14 @@ class Trainer:
             ):
                 self.scene = self.strategy.reset_opacities(self.scene)
         self.step += 1
-        return {
+        out = {
             k: float(v)
             for k, v in stats.items()
             if k not in ("grad2d", "visible")
         }
+        if self._tb is not None and self.step % self.cfg.tb_every == 0:
+            self.log_scalars(out)
+        return out
 
     def refine(self):
         new_scene, new_state, info = self.strategy.refine(
