@@ -63,7 +63,7 @@ def backproject_one_view_pallas(
     height: int,
     encoder: Callable[[jax.Array], jax.Array],
     sizes: PallasSizes,
-    d_chunk: int = 256,
+    d_chunk: int = 128,
     proj_config: ProjectionConfig = ProjectionConfig(),
     trans_eps: float = TRANS_EPS,
     interpret: bool = False,
@@ -138,7 +138,7 @@ def backproject_views_pallas(
     encoder,
     sizes: PallasSizes,
     cam_weights: Optional[jax.Array] = None,
-    d_chunk: int = 256,
+    d_chunk: int = 128,
     proj_config: ProjectionConfig = ProjectionConfig(),
     interpret: bool = False,
     tile_size: int = DEFAULT_TILE,

@@ -766,6 +766,20 @@ def _make_adjoint_kernel(ntx: int, ts: int, d_chunk: int, trans_eps: float, t_pa
         def _():
             out_dma(jax.lax.rem(nb - 1, 2), nb - 1).wait()
 
+        # Tile 0 also zeroes the dummy block at T_padded so the slot
+        # table's unused entries read exact zeros without any XLA-side
+        # masking or buffer-wide copies.
+        @pl.when(t == 0)
+        def _():
+            obuf[0] = jnp.zeros((BLOCK, d_chunk), jnp.float32)
+            dma = pltpu.make_async_copy(
+                obuf.at[0],
+                contrib_hbm.at[pl.ds(t_padded, BLOCK), :],
+                osem.at[0],
+            )
+            dma.start()
+            dma.wait()
+
     return kernel
 
 
@@ -834,28 +848,29 @@ def reduce_contribs(
         cap = cover_caps[j] if j < len(cover_caps) else n
         return min(max(int(cap), 1), n)
 
-    # Accumulate from the deepest (smallest-prefix) column outward so
-    # every add/copy is sized by the smaller prefix — total data moved
-    # ~= the real intersection count, not cover * N.
-    acc = None
-    prev_cap = 0
-    for j in reversed(range(cover)):
-        cap = cap_of(j)
-        col = jax.lax.slice_in_dim(slots, j, j + 1, axis=1)[:cap, 0]
-        valid = col < plan.T_padded
-        safe = jnp.minimum(col, contribs.shape[0] - 1)
-        rows = jnp.where(valid[:, None], contribs[safe], 0.0)
-        if acc is None:
-            acc = rows
-        else:
-            pc = min(prev_cap, cap)
-            acc = rows.at[:pc, :].add(acc[:pc])
-        prev_cap = cap
-    out = jnp.zeros((n, D), jnp.float32).at[:prev_cap].set(acc)
+    # ONE gather over the concatenated static column prefixes (per-op
+    # gather overhead dominates many small gathers), then pure slice
+    # adds. Unused slots point at the dummy zero block the kernel wrote
+    # at T_padded, so no masking is needed.
+    caps = [cap_of(j) for j in range(cover)]
+    cols = [
+        jax.lax.slice_in_dim(slots, j, j + 1, axis=1)[: caps[j], 0]
+        for j in range(cover)
+    ]
+    flat = jnp.concatenate(cols, axis=0)
+    rows = contribs[flat]  # (sum(caps), D) — the only gather
+    acc = jnp.zeros((n, D), jnp.float32)
+    off = 0
+    for j in range(cover):
+        c = caps[j]
+        acc = acc.at[:c, :].add(
+            jax.lax.dynamic_slice_in_dim(rows, off, c, axis=0)
+        )
+        off += c
     inv = jnp.zeros((n,), jnp.int32).at[plan.slot_order].set(
         jnp.arange(n, dtype=jnp.int32)
     )
-    return out[inv]
+    return acc[inv]
 
 
 # ------------------------------------------------------- high-level API
