@@ -140,13 +140,43 @@ def test_pallas_sizes_path_with_cover_caps():
         sizes.cover_caps[j] >= sizes.cover_caps[j + 1]
         for j in range(len(sizes.cover_caps) - 1)
     )
+    import jax.numpy as jnp2
+
     enc = LinearRGBEncoder(feature_dim=8)
     fs, ws = backproject_one_view_pallas(
         scene, vm, K, W, H, enc, sizes, d_chunk=16,
         interpret=True, trans_eps=0.0, tile_size=16,
+        contrib_dtype=jnp2.float32,
     )
     fs_ref, ws_ref = accumulate_view(
         scene, vm, K, W, H,
         feat_image=None,
     )
     np.testing.assert_allclose(np.asarray(ws), np.asarray(ws_ref), atol=1e-4)
+
+
+
+def test_pallas_bf16_contribs_close():
+    """bfloat16 contribution rows (the production fast path) stay within
+    ~0.5% relative error of the exact float32 path."""
+    from tpugs.lift.pallas_batch import (
+        backproject_one_view_pallas,
+        estimate_sizes_pallas,
+    )
+    from tpugs.encoders.base import LinearRGBEncoder
+
+    scene, cams = _setup(n=120)
+    vm, K = cams.viewmats[0], cams.Ks[0]
+    sizes = estimate_pallas = estimate_sizes_pallas(scene, cams, tile_size=16)
+    enc = LinearRGBEncoder(feature_dim=8)
+    kw = dict(d_chunk=16, interpret=True, trans_eps=0.0, tile_size=16)
+    fs32, ws32 = backproject_one_view_pallas(
+        scene, vm, K, W, H, enc, sizes, contrib_dtype=jnp.float32, **kw
+    )
+    fsbf, wsbf = backproject_one_view_pallas(
+        scene, vm, K, W, H, enc, sizes, contrib_dtype=jnp.bfloat16, **kw
+    )
+    scale = float(jnp.abs(ws32).max())
+    assert float(jnp.abs(wsbf - ws32).max()) < 0.005 * scale
+    fscale = float(jnp.abs(fs32).max())
+    assert float(jnp.abs(fsbf - fs32).max()) < 0.01 * fscale

@@ -63,14 +63,20 @@ def backproject_one_view_pallas(
     height: int,
     encoder: Callable[[jax.Array], jax.Array],
     sizes: PallasSizes,
-    d_chunk: int = 128,
+    d_chunk: int = 640,
     proj_config: ProjectionConfig = ProjectionConfig(),
     trans_eps: float = TRANS_EPS,
     interpret: bool = False,
     tile_size: int = DEFAULT_TILE,
+    contrib_dtype=jnp.bfloat16,
 ) -> Tuple[jax.Array, jax.Array]:
     """Fused per-view pipeline on the Pallas kernels. Traceable.
-    Returns (feat_sums (N, D), weight_sums (N,))."""
+    Returns (feat_sums (N, D), weight_sums (N,)).
+
+    Production defaults: one 640-channel adjoint pass (covers the
+    LSeg-512 + ones channel without alpha recomputation) with bfloat16
+    contribution rows (~0.4% relative error; pass float32/d_chunk=128
+    for the exact path)."""
     plan = build_plan_pure(
         scene.means,
         scene.quats,
@@ -113,6 +119,7 @@ def backproject_one_view_pallas(
         proj_config=proj_config,
         interpret=interpret,
         trans_eps=trans_eps,
+        contrib_dtype=contrib_dtype,
     )
 
 
@@ -127,6 +134,7 @@ def backproject_one_view_pallas(
         "proj_config",
         "interpret",
         "tile_size",
+        "contrib_dtype",
     ),
 )
 def backproject_views_pallas(
@@ -138,10 +146,11 @@ def backproject_views_pallas(
     encoder,
     sizes: PallasSizes,
     cam_weights: Optional[jax.Array] = None,
-    d_chunk: int = 128,
+    d_chunk: int = 640,
     proj_config: ProjectionConfig = ProjectionConfig(),
     interpret: bool = False,
     tile_size: int = DEFAULT_TILE,
+    contrib_dtype=jnp.bfloat16,
 ) -> Tuple[jax.Array, jax.Array]:
     """All views in one jitted scan. Returns (num (N, D), den (N,))."""
     n = scene.num_gaussians
@@ -155,6 +164,7 @@ def backproject_views_pallas(
         fs, ws = backproject_one_view_pallas(
             scene, vm, K, width, height, encoder, sizes,
             d_chunk, proj_config, interpret=interpret, tile_size=tile_size,
+            contrib_dtype=contrib_dtype,
         )
         return (num + wgt * fs, den + wgt * ws), None
 

@@ -634,7 +634,7 @@ def tiles_to_image(tiles: jax.Array, width: int, height: int, tile_size: int):
     return t.reshape(nty * ts, ntx * ts, c)[:height, :width]
 
 
-def _make_adjoint_kernel(ntx: int, ts: int, d_chunk: int, trans_eps: float, t_padded: int):
+def _make_adjoint_kernel(ntx: int, ts: int, d_chunk: int, trans_eps: float, t_padded: int, out_dtype):
     tspx = ts * ts
 
     def kernel(
@@ -719,7 +719,7 @@ def _make_adjoint_kernel(ntx: int, ts: int, d_chunk: int, trans_eps: float, t_pa
             def _():
                 out_dma(slot, b - 2).wait()
 
-            obuf[slot] = contrib
+            obuf[slot] = contrib.astype(out_dtype)
             out_dma(slot, b).start()
             return b + 1, trans, jnp.max(trans)
 
@@ -751,7 +751,7 @@ def _make_adjoint_kernel(ntx: int, ts: int, d_chunk: int, trans_eps: float, t_pa
             def _():
                 out_dma(slot, b - 2).wait()
 
-            obuf[slot] = jnp.zeros((BLOCK, d_chunk), jnp.float32)
+            obuf[slot] = jnp.zeros((BLOCK, d_chunk), out_dtype)
             out_dma(slot, b).start()
             return b + 1, 0
 
@@ -771,7 +771,7 @@ def _make_adjoint_kernel(ntx: int, ts: int, d_chunk: int, trans_eps: float, t_pa
         # masking or buffer-wide copies.
         @pl.when(t == 0)
         def _():
-            obuf[0] = jnp.zeros((BLOCK, d_chunk), jnp.float32)
+            obuf[0] = jnp.zeros((BLOCK, d_chunk), out_dtype)
             dma = pltpu.make_async_copy(
                 obuf.at[0],
                 contrib_hbm.at[pl.ds(t_padded, BLOCK), :],
@@ -789,6 +789,7 @@ def adjoint_pallas_raw(
     plan: PallasPlan,
     interpret: bool = False,
     trans_eps: float = TRANS_EPS,
+    out_dtype=jnp.float32,
 ):
     """Per-intersection contribution rows (T_padded + BLOCK, d_chunk).
     Rows beyond T_padded are the dummy region that unused slot-table
@@ -811,15 +812,17 @@ def adjoint_pallas_raw(
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((2, 8, BLOCK), jnp.float32),
-            pltpu.VMEM((2, BLOCK, d_chunk), jnp.float32),
+            pltpu.VMEM((2, BLOCK, d_chunk), out_dtype),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     contribs = pl.pallas_call(
-        _make_adjoint_kernel(ntx, ts, d_chunk, trans_eps, plan.T_padded),
+        _make_adjoint_kernel(
+            ntx, ts, d_chunk, trans_eps, plan.T_padded, out_dtype
+        ),
         out_shape=jax.ShapeDtypeStruct(
-            (plan.T_padded + BLOCK, d_chunk), jnp.float32
+            (plan.T_padded + BLOCK, d_chunk), out_dtype
         ),
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
@@ -864,7 +867,9 @@ def reduce_contribs(
     for j in range(cover):
         c = caps[j]
         acc = acc.at[:c, :].add(
-            jax.lax.dynamic_slice_in_dim(rows, off, c, axis=0)
+            jax.lax.dynamic_slice_in_dim(rows, off, c, axis=0).astype(
+                jnp.float32
+            )
         )
         off += c
     inv = jnp.zeros((n,), jnp.int32).at[plan.slot_order].set(
@@ -941,13 +946,16 @@ def backproject_view_pallas(
     proj_config: ProjectionConfig = ProjectionConfig(),
     interpret: bool = False,
     trans_eps: float = TRANS_EPS,
+    contrib_dtype=jnp.float32,
 ) -> Tuple[jax.Array, jax.Array]:
     """Fused adjoint for one camera: (feat_sums (N, D), weight_sums (N,))
     in original Gaussian order. A ones-channel is prepended to the
     features, so the weight denominator falls out as channel 0 of the
     first chunk (the reference's all-ones backward pass, for free).
     Channels are processed in d_chunk passes so the per-intersection
-    contribution buffer stays bounded."""
+    contribution buffer stays bounded; with ``d_chunk >= D+1`` the whole
+    adjoint is a single pass (use ``contrib_dtype=bfloat16`` to halve
+    the buffer — ~0.4% relative error on the lifted features)."""
     from tpugs.raster.adjoint import image_to_tiles
 
     proj = project(
@@ -986,6 +994,7 @@ def backproject_view_pallas(
             plan,
             interpret=interpret,
             trans_eps=trans_eps,
+            out_dtype=contrib_dtype,
         )
         feat_parts.append(reduce_contribs(contribs, plan))
     all_sums = jnp.concatenate(feat_parts, axis=-1)
