@@ -851,27 +851,45 @@ def reduce_contribs(
         cap = cover_caps[j] if j < len(cover_caps) else n
         return min(max(int(cap), 1), n)
 
-    # ONE gather over the concatenated static column prefixes (per-op
-    # gather overhead dominates many small gathers), then pure slice
-    # adds. Unused slots point at the dummy zero block the kernel wrote
-    # at T_padded, so no masking is needed.
+    # Gather over concatenated static column prefixes (few big gathers
+    # beat many small ones), then pure slice adds. Unused slots point at
+    # the dummy zero block the kernel wrote at T_padded, so no masking
+    # is needed. Columns are processed in a couple of groups to bound
+    # the transient gathered-rows buffer.
     caps = [cap_of(j) for j in range(cover)]
-    cols = [
-        jax.lax.slice_in_dim(slots, j, j + 1, axis=1)[: caps[j], 0]
-        for j in range(cover)
-    ]
-    flat = jnp.concatenate(cols, axis=0)
-    rows = contribs[flat]  # (sum(caps), D) — the only gather
     acc = jnp.zeros((n, D), jnp.float32)
-    off = 0
+    # group columns so each gather handles ~1M rows (bounds the transient)
+    bounds = []
+    j0, acc_rows = 0, 0
     for j in range(cover):
-        c = caps[j]
-        acc = acc.at[:c, :].add(
-            jax.lax.dynamic_slice_in_dim(rows, off, c, axis=0).astype(
-                jnp.float32
+        acc_rows += caps[j]
+        if acc_rows >= 1_000_000 or j == cover - 1:
+            bounds.append((j0, j + 1))
+            j0, acc_rows = j + 1, 0
+    for j0, j1 in bounds:
+        cols = [
+            jax.lax.slice_in_dim(slots, j, j + 1, axis=1)[: caps[j], 0]
+            for j in range(j0, j1)
+        ]
+        if not cols:
+            continue
+        flat = jnp.concatenate(cols, axis=0)
+        # Serialize groups: without this dependency XLA schedules all
+        # group gathers concurrently and their transient rows buffers
+        # are simultaneously live (OOM at garden scale).
+        token = jax.lax.convert_element_type(acc[0, 0], jnp.int32) * 0
+        flat = flat + token
+        rows = contribs[flat]  # (sum group caps, D)
+        off = 0
+        for j in range(j0, j1):
+            c = caps[j]
+            acc = acc.at[:c, :].add(
+                jax.lax.dynamic_slice_in_dim(rows, off, c, axis=0).astype(
+                    jnp.float32
+                )
             )
-        )
-        off += c
+            off += c
+        acc = jax.lax.optimization_barrier(acc)
     inv = jnp.zeros((n,), jnp.int32).at[plan.slot_order].set(
         jnp.arange(n, dtype=jnp.int32)
     )
@@ -964,6 +982,9 @@ def backproject_view_pallas(
     )
     geom = pack_isect_params(proj, plan)
     H, W, D = feat_image.shape
+    # Work in the contribution dtype from the start so no full-size f32
+    # intermediates (concat / tiles) are ever materialized.
+    feat_image = feat_image.astype(contrib_dtype)
     d_pad = cdiv(D + 1, d_chunk) * d_chunk
 
     def chunk_image(c0):
@@ -973,7 +994,7 @@ def backproject_view_pallas(
         hi = lo + d_chunk
         parts = []
         if lo < 0:
-            parts.append(jnp.ones((H, W, 1), feat_image.dtype))
+            parts.append(jnp.ones((H, W, 1), contrib_dtype))
             lo = 0
         take = min(hi, D) - lo
         if take > 0:
@@ -981,7 +1002,7 @@ def backproject_view_pallas(
         have = sum(p.shape[-1] for p in parts)
         if have < d_chunk:
             parts.append(
-                jnp.zeros((H, W, d_chunk - have), feat_image.dtype)
+                jnp.zeros((H, W, d_chunk - have), contrib_dtype)
             )
         return jnp.concatenate(parts, axis=-1)
 
