@@ -44,7 +44,7 @@ def main():
     from tpugs.encoders.base import LinearRGBEncoder
     from tpugs.lift.batch import normalize_field
     from tpugs.lift.pallas_batch import (
-        backproject_one_view_pallas,
+        backproject_views_grouped,
         estimate_sizes_pallas,
     )
     from tpugs.utils.synthetic import orbit_cameras, random_scene
@@ -58,31 +58,28 @@ def main():
     interpret = jax.devices()[0].platform == "cpu"
     sizes = estimate_sizes_pallas(scene, cams, probe_stride=2)
 
-    fn = jax.jit(
-        lambda sc, vm, K: backproject_one_view_pallas(
-            sc, vm, K, args.width, args.height, encoder, sizes,
-            interpret=interpret,
+    group = min(4, args.views)
+
+    def run(sc):
+        return backproject_views_grouped(
+            sc, cams.viewmats, cams.Ks, args.width, args.height,
+            encoder, sizes, group_size=group, interpret=interpret,
         )
-    )
 
     # Warmup / compile. (block_until_ready is unreliable on the remote
     # TPU backend — force a device-to-host read to sync.)
     def sync(x):
         np.asarray(jax.device_get(x.ravel()[:1]))
 
-    out = fn(scene, cams.viewmats[0], cams.Ks[0])
+    out = run(scene)
     sync(out[1])
 
-    # Timed loop on a minutely perturbed scene: the remote backend caches
+    # Timed run on a minutely perturbed scene: the remote backend caches
     # results for identical (executable, inputs) pairs, which would make
     # a repeat of the warmup dispatch free.
     scene_t = scene.replace(means=scene.means + 1e-6)
-    num = jnp.zeros((scene.num_gaussians, args.feature_dim))
-    den = jnp.zeros((scene.num_gaussians,))
     t0 = time.perf_counter()
-    for c in range(args.views):
-        fs, ws = fn(scene_t, cams.viewmats[c], cams.Ks[c])
-        num, den = num + fs, den + ws
+    num, den = run(scene_t)
     sync(den)
     dt = time.perf_counter() - t0
 

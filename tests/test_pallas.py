@@ -180,3 +180,33 @@ def test_pallas_bf16_contribs_close():
     assert float(jnp.abs(wsbf - ws32).max()) < 0.005 * scale
     fscale = float(jnp.abs(fs32).max())
     assert float(jnp.abs(fsbf - fs32).max()) < 0.01 * fscale
+
+
+def test_grouped_dispatch_matches_loop():
+    """backproject_views_grouped (incl. the padded last group) must match
+    per-view accumulation exactly."""
+    from tpugs.encoders.base import LinearRGBEncoder
+    from tpugs.lift.pallas_batch import (
+        backproject_one_view_pallas,
+        backproject_views_grouped,
+        estimate_sizes_pallas,
+    )
+
+    scene, _ = _setup(n=100)
+    cams = orbit_cameras(3, W, H, radius=2.5)  # 3 views, group=2 -> pad
+    sizes = estimate_sizes_pallas(scene, cams, tile_size=16)
+    enc = LinearRGBEncoder(feature_dim=8)
+    kw = dict(interpret=True, tile_size=16, d_chunk=16,
+              contrib_dtype=jnp.float32)
+    num_g, den_g = backproject_views_grouped(
+        scene, cams.viewmats, cams.Ks, W, H, enc, sizes, group_size=2, **kw
+    )
+    num = jnp.zeros_like(num_g)
+    den = jnp.zeros_like(den_g)
+    for c in range(3):
+        fs, ws = backproject_one_view_pallas(
+            scene, cams.viewmats[c], cams.Ks[c], W, H, enc, sizes, **kw
+        )
+        num, den = num + fs, den + ws
+    np.testing.assert_allclose(np.asarray(den_g), np.asarray(den), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(num_g), np.asarray(num), atol=1e-4)
