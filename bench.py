@@ -33,7 +33,7 @@ def main():
     ap.add_argument("--width", type=int, default=1296)
     ap.add_argument("--height", type=int, default=840)
     ap.add_argument("--feature-dim", type=int, default=512)
-    ap.add_argument("--views", type=int, default=8, help="timed views")
+    ap.add_argument("--views", type=int, default=4, help="timed views")
     ap.add_argument("--quick", action="store_true", help="tiny smoke config")
     args = ap.parse_args()
 
