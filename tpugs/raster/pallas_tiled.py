@@ -84,6 +84,8 @@ class PallasPlan:
     T_padded: int = dataclasses.field(metadata=_STATIC, default=0)
     cover_pad: int = dataclasses.field(metadata=_STATIC, default=0)
     cover_caps: tuple = dataclasses.field(metadata=_STATIC, default=())
+    cap_hi: int = dataclasses.field(metadata=_STATIC, default=0)
+    lo_cover: int = dataclasses.field(metadata=_STATIC, default=8)
 
 
 # --------------------------------------------------------------- planning
@@ -131,6 +133,8 @@ def _cover_hist_jit(proj: Projected, tile_size, width, height, max_cover):
         "T_padded",
         "cover_pad",
         "cover_caps",
+        "cap_hi",
+        "lo_cover",
     ),
 )
 def _plan_build(
@@ -143,6 +147,8 @@ def _plan_build(
     T_padded,
     cover_pad,
     cover_caps=(),
+    cap_hi=0,
+    lo_cover=8,
 ):
     n = proj.means2d.shape[0]
     ntx, nty = tile_grid(width, height, tile_size)
@@ -171,9 +177,46 @@ def _plan_build(
     gid = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None], (n, max_cover))
     gid = jnp.where(slot_valid, gid, n).astype(jnp.int32)
 
-    eidx = jnp.arange(n * max_cover, dtype=jnp.int32)
+    # ---- size-classed expansion: sort Gaussians by descending cover;
+    # the first H get max_cover slots, the rest lo_cover slots. The
+    # expansion entry index e encodes (class, row, j) so the slot table
+    # can be reassembled after the big sort.
+    cover_rank = jnp.argsort(-cnt)
+    if cap_hi <= 0 or cap_hi >= n:
+        H_cls, LO = n, max_cover  # single class (legacy layout)
+    else:
+        H_cls, LO = cap_hi, min(lo_cover, max_cover)
+
+    def expand(rows, slots_per):
+        r_tx0 = tx0[rows]
+        r_ty0 = ty0[rows]
+        r_w = w_safe[rows]
+        r_cnt = cnt[rows]
+        jj = jnp.arange(slots_per, dtype=jnp.int32)
+        jx = jj[None, :] % r_w[:, None]
+        jy = jj[None, :] // r_w[:, None]
+        # truncation guard: entries beyond slots_per are dropped (the
+        # size estimation's cap_hi margin must cover all high-cover
+        # Gaussians; see estimate_pallas_sizes)
+        sv = jj[None, :] < jnp.minimum(r_cnt, slots_per)[:, None]
+        t = (r_ty0[:, None] + jy) * ntx + (r_tx0[:, None] + jx)
+        t = jnp.where(sv, t, n_tiles).astype(jnp.int32)
+        g = jnp.where(sv, rows[:, None], n).astype(jnp.int32)
+        return t.reshape(-1), g.reshape(-1)
+
+    hi_rows = cover_rank[:H_cls]
+    tid_hi, gid_hi = expand(hi_rows, max_cover)
+    if H_cls < n:
+        lo_rows = cover_rank[H_cls:]
+        tid_lo, gid_lo = expand(lo_rows, LO)
+        tid_flat = jnp.concatenate([tid_hi, tid_lo])
+        gid_flat = jnp.concatenate([gid_hi, gid_lo])
+    else:
+        tid_flat, gid_flat = tid_hi, gid_hi
+
+    eidx = jnp.arange(tid_flat.shape[0], dtype=jnp.int32)
     tid_s, gid_s, eidx_s = jax.lax.sort(
-        (tid.reshape(-1), gid.reshape(-1), eidx), num_keys=2, is_stable=False
+        (tid_flat, gid_flat, eidx), num_keys=2, is_stable=False
     )
     tile_starts_full = jnp.searchsorted(
         tid_s, jnp.arange(n_tiles + 1, dtype=jnp.int32), side="left"
@@ -190,15 +233,24 @@ def _plan_build(
     tile_of_s = jnp.minimum(tid_s, n_tiles - 1)
     pos = padded_starts[tile_of_s] + (s_idx - tile_starts_full[tile_of_s])
     pos = jnp.where(tid_s < n_tiles, pos, T_padded)  # sentinel -> dummy row
-    slots_flat = jnp.zeros((n * max_cover,), jnp.int32).at[eidx_s].set(
-        pos, unique_indices=True
-    )
-    slots_depth = slots_flat.reshape(n, max_cover)[:, :cover_pad]
-    # Sort rows by descending cover count: column j of the sorted table
-    # has its valid entries in a prefix, so the reduction can gather a
-    # static prefix instead of the full column (most covers are small).
-    cover_rank = jnp.argsort(-cnt)
-    slots = slots_depth[cover_rank]
+    slots_flat = jnp.full(
+        (tid_flat.shape[0],), T_padded, jnp.int32
+    ).at[eidx_s].set(pos, unique_indices=True)
+    # Reassemble per class: rows are already in cover_rank order, which
+    # is exactly the cover-descending order the prefix reduction wants.
+    slots_hi = slots_flat[: H_cls * max_cover].reshape(H_cls, max_cover)
+    if H_cls < n:
+        slots_lo = slots_flat[H_cls * max_cover :].reshape(n - H_cls, LO)
+        slots_lo = jnp.concatenate(
+            [
+                slots_lo,
+                jnp.full((n - H_cls, max_cover - LO), T_padded, jnp.int32),
+            ],
+            axis=1,
+        )
+        slots = jnp.concatenate([slots_hi, slots_lo], axis=0)[:, :cover_pad]
+    else:
+        slots = slots_hi[:, :cover_pad]
     slot_order = order[cover_rank]  # row i of slots -> original Gaussian
 
     # Gaussian id per padded slot (block-padding slots -> sentinel N).
@@ -238,6 +290,12 @@ class PallasSizes(NamedTuple):
     # cover_caps[j]: static upper bound on #Gaussians covering > j tiles
     # (monotone nonincreasing). Lets the reduction gather only prefixes.
     cover_caps: tuple = ()
+    # Size-classed expansion: only the cap_hi highest-cover Gaussians get
+    # max_cover expansion slots; the rest get lo_cover slots. Shrinks the
+    # plan's sort/scatter volume ~2.5x (most Gaussians cover <= 4 tiles).
+    # cap_hi == 0 disables classing (everyone gets max_cover slots).
+    cap_hi: int = 0
+    lo_cover: int = 8
 
 
 def estimate_pallas_sizes(
@@ -289,11 +347,22 @@ def estimate_pallas_sizes(
     # enforce monotone nonincreasing
     for j in range(1, max_cover):
         caps[j] = min(caps[j], caps[j - 1])
+    lo_cover = 8
+    if max_cover > lo_cover:
+        # Gaussians allowed more than lo_cover slots, with headroom: the
+        # classed expansion truncates any high-cover Gaussian beyond
+        # this count (same risk class as the T_padded margin).
+        over = hist[lo_cover] if lo_cover < len(hist) else 0
+        cap_hi = int(min(n, cdiv(max(int(over * 2.0), 1024), 1024) * 1024))
+    else:
+        cap_hi = 0
     return PallasSizes(
         max_cover=max_cover,
         T_padded=T_padded,
         cover_pad=max_cover,
         cover_caps=tuple(caps),
+        cap_hi=cap_hi,
+        lo_cover=lo_cover,
     )
 
 
@@ -324,6 +393,8 @@ def build_plan_pure(
         sizes.T_padded,
         sizes.cover_pad,
         sizes.cover_caps,
+        sizes.cap_hi,
+        sizes.lo_cover,
     )
 
 
