@@ -92,10 +92,17 @@ def cameras_from_colmap(
 ) -> Camera:
     """Stack sorted COLMAP images (objects with .R() and .t) into a Camera
     batch; sorting by name matches the reference iteration order
-    (``backproject.py:74``)."""
-    viewmats = np.stack(
-        [np.asarray(make_viewmat(im.R(), im.t)) for im in images], axis=0
-    )
+    (``backproject.py:74``). Pure numpy until the final device put —
+    per-image device round-trips are both wasteful and a stall hazard
+    on remote TPU transports."""
+
+    def vm(im):
+        m = np.eye(4, dtype=np.float32)
+        m[:3, :3] = im.R()
+        m[:3, 3] = im.t
+        return m
+
+    viewmats = np.stack([vm(im) for im in images], axis=0)
     Ks = np.tile(np.asarray(K, np.float32)[None], (len(images), 1, 1))
     return Camera(
         viewmats=jnp.asarray(viewmats),

@@ -29,10 +29,22 @@ def _base_type(ann):
 def cli(fn, argv=None):
     sig = inspect.signature(fn)
     doc = inspect.getdoc(fn) or ""
+    # Resolve string annotations (`from __future__ import annotations`
+    # makes every annotation a string, which would otherwise defeat the
+    # bool/choices handling).
+    try:
+        hints = typing.get_type_hints(fn)
+    except Exception:
+        hints = {}
     parser = argparse.ArgumentParser(description=doc.splitlines()[0] if doc else None)
     for name, param in sig.parameters.items():
         flag = "--" + name.replace("_", "-")
-        ann = param.annotation if param.annotation is not inspect.Parameter.empty else str
+        ann = hints.get(
+            name,
+            param.annotation
+            if param.annotation is not inspect.Parameter.empty
+            else str,
+        )
         typ, choices = _base_type(ann)
         default = None if param.default is inspect.Parameter.empty else param.default
         required = param.default is inspect.Parameter.empty
