@@ -1,0 +1,169 @@
+"""Per-stage timing of the fused back-projection pipeline at garden scale.
+
+Run on TPU:  timeout 900 python scripts/profile_stages.py
+"""
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpugs.encoders.base import LinearRGBEncoder
+from tpugs.lift.pallas_batch import (
+    DEFAULT_TILE,
+    backproject_one_view_pallas,
+    estimate_sizes_pallas,
+)
+from tpugs.raster.pallas_tiled import (
+    adjoint_pallas_raw,
+    backproject_view_pallas,
+    build_plan_pure,
+    pack_isect_all,
+    reduce_contribs,
+    render_view_pallas,
+)
+from tpugs.raster.api import _prepare_colors
+from tpugs.raster.projection import ProjectionConfig, project
+from tpugs.raster.adjoint import image_to_tiles
+from tpugs.utils.synthetic import orbit_cameras, random_scene
+from tpugs.utils.timing import measure
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--num-gaussians", type=int, default=2**19)
+    ap.add_argument("--width", type=int, default=1296)
+    ap.add_argument("--height", type=int, default=840)
+    ap.add_argument("--feature-dim", type=int, default=512)
+    ap.add_argument("--tile", type=int, default=DEFAULT_TILE)
+    ap.add_argument("--iters", type=int, default=3)
+    args = ap.parse_args()
+
+    print(f"device: {jax.devices()[0].platform}", flush=True)
+    scene = random_scene(
+        args.num_gaussians, seed=0, extent=1.0, scale_range=(0.004, 0.02)
+    )
+    cams = orbit_cameras(4, args.width, args.height, radius=3.0)
+    encoder = LinearRGBEncoder(feature_dim=args.feature_dim)
+    pc = ProjectionConfig()
+    t0 = time.time()
+    sizes = estimate_sizes_pallas(scene, cams, probe_stride=2, tile_size=args.tile)
+    print(f"sizes: {sizes} (est took {time.time()-t0:.1f}s)", flush=True)
+
+    vm, K = cams.viewmats[0], cams.Ks[0]
+    W, H = args.width, args.height
+    it = args.iters
+
+    # plan
+    def f_plan(eps, means):
+        m = means + (eps * jnp.uint32(0)).astype(jnp.float32)
+        return build_plan_pure(
+            m, scene.quats, scene.scales, scene.opacities,
+            vm, K, W, H, sizes, pc, args.tile,
+        ).padded_gid
+
+    measure(f_plan, scene.means, iters=it, name="plan", verbose=True)
+
+    plan = jax.jit(
+        build_plan_pure,
+        static_argnames=("width", "height", "sizes", "proj_config", "tile_size"),
+    )(
+        scene.means, scene.quats, scene.scales, scene.opacities,
+        vm, K, width=W, height=H, sizes=sizes, proj_config=pc,
+        tile_size=args.tile,
+    )
+    plan = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x) if hasattr(x, "shape") else x, plan
+    )
+
+    # pack
+    def f_pack(eps, means):
+        m = means + (eps * jnp.uint32(0)).astype(jnp.float32)
+        proj = project(
+            m, scene.quats, scene.scales, scene.opacities, vm, K, W, H, pc
+        )
+        cols3 = _prepare_colors(m, scene.colors_all, vm, scene.sh_degree)
+        return pack_isect_all(proj, cols3, plan)
+
+    measure(f_pack, scene.means, iters=it, name="pack(proj+geom)", verbose=True)
+
+    # render
+    def f_render(eps, means):
+        m = means + (eps * jnp.uint32(0)).astype(jnp.float32)
+        img, _ = render_view_pallas(
+            m, scene.quats, scene.scales, scene.opacities, scene.colors_all,
+            vm, K, plan, sh_degree=scene.sh_degree, render_mode="RGB",
+            proj_config=pc,
+        )
+        return img
+
+    measure(f_render, scene.means, iters=it, name="render(incl pack)", verbose=True)
+
+    # encoder
+    rgb = jax.jit(
+        lambda m: render_view_pallas(
+            m, scene.quats, scene.scales, scene.opacities, scene.colors_all,
+            vm, K, plan, sh_degree=scene.sh_degree, render_mode="RGB",
+            proj_config=pc,
+        )[0]
+    )(scene.means)
+
+    def f_enc(eps, img):
+        x = img + (eps * jnp.uint32(0)).astype(jnp.float32)
+        return encoder(x)
+
+    measure(f_enc, rgb, iters=it, name="encoder", verbose=True)
+
+    feats = jax.jit(encoder)(rgb)
+
+    # adjoint kernel only (contrib write), D=640 bf16
+    d_chunk = 640
+    featp = jnp.concatenate(
+        [jnp.ones((H, W, 1), jnp.bfloat16), feats.astype(jnp.bfloat16),
+         jnp.zeros((H, W, d_chunk - 1 - args.feature_dim), jnp.bfloat16)],
+        axis=-1,
+    )
+    proj0 = jax.jit(
+        lambda m: project(
+            m, scene.quats, scene.scales, scene.opacities, vm, K, W, H, pc
+        )
+    )(scene.means)
+    geom0 = jax.jit(lambda p: pack_isect_all(p, None, plan))(proj0)
+    ftiles = jax.jit(lambda fi: image_to_tiles(fi, plan.tile_size))(featp)
+
+    def f_adj(eps, geom, ft):
+        g = geom + (eps * jnp.uint32(0)).astype(jnp.float32)
+        return adjoint_pallas_raw(g, ft, plan, out_dtype=jnp.bfloat16)
+
+    measure(f_adj, geom0, ftiles, iters=it, name="adjoint kernel", verbose=True)
+
+    contribs = jax.jit(
+        lambda g, ft: adjoint_pallas_raw(g, ft, plan, out_dtype=jnp.bfloat16)
+    )(geom0, ftiles)
+
+    # free held garden-scale buffers before the reduce measurement
+    del ftiles, featp, rgb, feats, geom0, proj0
+
+    # reduce only
+    def f_red(eps, c):
+        cc = c + (eps * jnp.uint32(0)).astype(jnp.bfloat16)
+        return reduce_contribs(cc, plan)
+
+    measure(f_red, contribs, iters=it, name="reduce", verbose=True)
+    del contribs
+
+    # full fused single view
+    def f_full(eps, means):
+        m = means + (eps * jnp.uint32(0)).astype(jnp.float32)
+        sc = scene.replace(means=m)
+        return backproject_one_view_pallas(
+            sc, vm, K, W, H, encoder, sizes, tile_size=args.tile
+        )[1]
+
+    measure(f_full, scene.means, iters=it, name="FULL view", verbose=True)
+
+
+if __name__ == "__main__":
+    main()

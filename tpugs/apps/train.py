@@ -3,8 +3,9 @@
 
 Runs the full loop: COLMAP parse -> SfM init -> jitted train steps with
 joint RGB + feature distillation -> periodic eval/checkpoint -> final
-trajectory video. Multi-chip: launch with a mesh via --data-parallel
-(uses ``tpugs/dist``)."""
+trajectory video. Multi-chip training lives in ``tpugs/dist`` (see
+``dist.shard.sharded_train_step``); this CLI drives the single-chip
+trainer."""
 
 from __future__ import annotations
 
@@ -31,6 +32,12 @@ def main(
     depth_loss: bool = False,
     steps_scaler: float = 1.0,
     seed: int = 42,
+    pose_opt: bool = False,
+    pose_noise: float = 0.0,
+    app_opt: bool = False,
+    compression: str = "",
+    lpips_weights: str = "",
+    resume: str = "",
 ):
     import jax.numpy as jnp
 
@@ -57,6 +64,10 @@ def main(
         depth_loss=depth_loss,
         steps_scaler=steps_scaler,
         seed=seed,
+        pose_opt=pose_opt,
+        pose_noise=pose_noise,
+        app_opt=app_opt,
+        compression=compression,
     ).adjust_steps()
 
     os.makedirs(result_dir, exist_ok=True)
@@ -77,14 +88,23 @@ def main(
         scene = init_scene_random(cfg, parser.scene_scale)
 
     encoder = get_encoder(teacher) if feature_dim else None
+    lpips_params = None
+    if lpips_weights:
+        from tpugs.train.lpips import load_lpips_file
+
+        lpips_params = load_lpips_file(lpips_weights)
     trainer = Trainer(
         cfg, scene, parser.scene_scale,
         teacher=encoder, width=width, height=height,
+        n_cameras=parser.num_images, lpips_params=lpips_params,
     )
+    if resume:
+        trainer.load_checkpoint_full(resume)
+        print(f"resumed from {resume} at step {trainer.step}", flush=True)
 
     rng = np.random.default_rng(seed)
     t0 = time.time()
-    for step in range(cfg.max_steps):
+    for step in range(trainer.step, cfg.max_steps):
         data = trainset[int(rng.integers(0, len(trainset)))]
         feats = (
             encoder(jnp.asarray(data["image"])) if encoder is not None else None
@@ -108,6 +128,9 @@ def main(
             trainer.save_checkpoint(
                 os.path.join(result_dir, f"ckpts/ckpt_{step}.npz")
             )
+            trainer.save_checkpoint_full(
+                os.path.join(result_dir, f"ckpts/full_{step}.npz")
+            )
 
     metrics = trainer.evaluate(valset)
     print("final eval:", metrics)
@@ -116,6 +139,9 @@ def main(
     )
     trainer.save_checkpoint(
         os.path.join(result_dir, f"ckpts/ckpt_{cfg.max_steps - 1}.npz")
+    )
+    trainer.save_checkpoint_full(
+        os.path.join(result_dir, f"ckpts/full_{cfg.max_steps - 1}.npz")
     )
     try:
         trainer.render_traj(

@@ -210,8 +210,11 @@ def load_checkpoint(
     cam = next(iter(colmap.cameras.values()))  # single-camera assumption
     K = cam.K.astype(np.float32)
     K[:2, :] /= data_factor
-    width = int(round(K[0, 2] * 2))
-    height = int(round(K[1, 2] * 2))
+    # int() truncation, not round(): the reference derives the render
+    # size as int(cx*2)/int(cy*2) (backproject.py:85-86) and the two
+    # disagree by one pixel for non-integer cx/cy after data_factor
+    width = int(K[0, 2] * 2)
+    height = int(K[1, 2] * 2)
     images = sorted(colmap.images.values(), key=lambda im: im.name)
     cameras = cameras_from_colmap(images, K, width, height)
     return scene, cameras, colmap

@@ -76,7 +76,13 @@ def backproject_one_view_pallas(
     Production defaults: one 640-channel adjoint pass (covers the
     LSeg-512 + ones channel without alpha recomputation) with bfloat16
     contribution rows (~0.4% relative error; pass float32/d_chunk=128
-    for the exact path)."""
+    for the exact path). Projection + parameter pack happen ONCE and are
+    shared by the render and adjoint kernels (round-2: the pack gather
+    was the third-largest stage)."""
+    from tpugs.raster.api import _prepare_colors
+    from tpugs.raster.pallas_tiled import pack_isect_all
+    from tpugs.raster.projection import project
+
     plan = build_plan_pure(
         scene.means,
         scene.quats,
@@ -90,6 +96,14 @@ def backproject_one_view_pallas(
         proj_config,
         tile_size,
     )
+    proj = project(
+        scene.means, scene.quats, scene.scales, scene.opacities,
+        viewmat, K, width, height, proj_config,
+    )
+    cols3 = _prepare_colors(
+        scene.means, scene.colors_all, viewmat, scene.sh_degree
+    )
+    packed = pack_isect_all(proj, cols3, plan)
     rgb_d, _ = render_view_pallas(
         scene.means,
         scene.quats,
@@ -104,6 +118,7 @@ def backproject_one_view_pallas(
         proj_config=proj_config,
         interpret=interpret,
         trans_eps=trans_eps,
+        packed=packed,
     )
     feats = encoder(rgb_d)
     return backproject_view_pallas(
@@ -120,6 +135,7 @@ def backproject_one_view_pallas(
         interpret=interpret,
         trans_eps=trans_eps,
         contrib_dtype=contrib_dtype,
+        packed=packed,
     )
 
 

@@ -215,12 +215,27 @@ def _plan_build(
         tid_flat, gid_flat = tid_hi, gid_hi
 
     eidx = jnp.arange(tid_flat.shape[0], dtype=jnp.int32)
-    tid_s, gid_s, eidx_s = jax.lax.sort(
-        (tid_flat, gid_flat, eidx), num_keys=2, is_stable=False
-    )
-    tile_starts_full = jnp.searchsorted(
-        tid_s, jnp.arange(n_tiles + 1, dtype=jnp.int32), side="left"
-    ).astype(jnp.int32)
+    # Pack (tile, depth-rank) into one int32 key when it fits: a one-key
+    # two-operand sort moves ~40% less data through the sort network than
+    # the two-key three-operand form (the sort dominates plan cost).
+    S = 1 << int(np.ceil(np.log2(max(n + 1, 2))))
+    if (n_tiles + 1) * S < 2**31:
+        key = tid_flat * S + gid_flat
+        key_s, eidx_s = jax.lax.sort((key, eidx), num_keys=1, is_stable=False)
+        tid_s = key_s // S  # S is a power of two -> lowered to a shift
+        gid_s = key_s - tid_s * S
+        tile_starts_full = jnp.searchsorted(
+            key_s,
+            jnp.arange(n_tiles + 1, dtype=jnp.int32) * S,
+            side="left",
+        ).astype(jnp.int32)
+    else:
+        tid_s, gid_s, eidx_s = jax.lax.sort(
+            (tid_flat, gid_flat, eidx), num_keys=2, is_stable=False
+        )
+        tile_starts_full = jnp.searchsorted(
+            tid_s, jnp.arange(n_tiles + 1, dtype=jnp.int32), side="left"
+        ).astype(jnp.int32)
     spans = tile_starts_full[1:] - tile_starts_full[:-1]
     padded_spans = cdiv_arr(spans, BLOCK) * BLOCK
     padded_starts = jnp.concatenate(
@@ -276,6 +291,9 @@ def _plan_build(
         K_pad=K_pad,
         T_padded=T_padded,
         cover_pad=cover_pad,
+        cover_caps=tuple(cover_caps),
+        cap_hi=cap_hi,
+        lo_cover=lo_cover,
     )
 
 
@@ -366,6 +384,119 @@ def estimate_pallas_sizes(
     )
 
 
+@functools.partial(
+    jax.jit, static_argnames=("tile_size", "width", "height", "sizes")
+)
+def _size_requirements_jit(proj: Projected, tile_size, width, height, sizes):
+    """Per-view requirements vs the static ``PallasSizes`` buckets.
+
+    Returns (kept_entries, dropped_entries): dropped_entries counts
+    expansion slots the size-classed plan would silently truncate —
+    covers beyond max_cover, low-class Gaussians beyond lo_cover, or
+    high-cover Gaussians beyond the cap_hi class size."""
+    from tpugs.raster.binning import tile_bbox
+
+    ntx, nty = tile_grid(width, height, tile_size)
+    tx0, ty0, tx1, ty1 = tile_bbox(
+        proj.means2d, proj.radii, proj.valid, tile_size, ntx, nty
+    )
+    cnt = (tx1 - tx0) * (ty1 - ty0)
+    n = cnt.shape[0]
+    if sizes.cap_hi <= 0 or sizes.cap_hi >= n:
+        caps = jnp.full((n,), sizes.max_cover, jnp.int32)
+    else:
+        cover_rank = jnp.argsort(-cnt)
+        rank_of = jnp.zeros((n,), jnp.int32).at[cover_rank].set(
+            jnp.arange(n, dtype=jnp.int32)
+        )
+        caps = jnp.where(
+            rank_of < sizes.cap_hi,
+            sizes.max_cover,
+            min(sizes.lo_cover, sizes.max_cover),
+        )
+    kept = jnp.minimum(cnt, caps)
+    dropped = jnp.sum(cnt - kept)
+    return jnp.sum(kept), dropped
+
+
+def check_pallas_sizes(
+    means,
+    quats,
+    scales,
+    opacities,
+    viewmats,
+    Ks,
+    width: int,
+    height: int,
+    sizes: "PallasSizes",
+    proj_config: ProjectionConfig = ProjectionConfig(),
+    tile_size: int = 16,
+    stride: int = 1,
+    raise_on_overflow: bool = True,
+) -> dict:
+    """Host-side overflow audit (ADVICE r1): verify the static
+    ``PallasSizes`` buckets cover every (strided) view, instead of the
+    kernels silently truncating splats. Returns per-view worst cases;
+    raises (or warns) when a view exceeds the buckets."""
+    import warnings
+
+    from tpugs.raster.api import _project_jit
+
+    worst = {
+        "n_isects": 0, "t_padded": 0, "dropped": 0, "view": -1,
+        "cap_overflow": 0,
+    }
+    n = means.shape[0]
+    for c in range(0, viewmats.shape[0], max(1, stride)):
+        proj = _project_jit(
+            means, quats, scales, opacities,
+            viewmats[c], Ks[c], width, height, proj_config,
+        )
+        kept, dropped = _size_requirements_jit(
+            proj, tile_size, width, height, sizes
+        )
+        _, t_req, _ = _plan_stats(
+            proj, tile_size, width, height, sizes.max_cover
+        )
+        kept, dropped, t_req = int(kept), int(dropped), int(t_req)
+        if t_req > worst["t_padded"]:
+            worst.update(t_padded=t_req, view=c)
+        worst["n_isects"] = max(worst["n_isects"], kept)
+        worst["dropped"] = max(worst["dropped"], dropped)
+        # cover_caps are load-bearing for reduce_contribs: hist[j] (the
+        # number of Gaussians covering > j tiles) must stay within the
+        # static per-column cap or real contributions get dropped.
+        if sizes.cover_caps:
+            hist = np.asarray(
+                _cover_hist_jit(
+                    proj, tile_size, width, height, sizes.max_cover
+                )
+            )
+            for j, cap in enumerate(sizes.cover_caps):
+                h_j = int(hist[j]) if j < len(hist) else 0
+                worst["cap_overflow"] = max(
+                    worst["cap_overflow"], h_j - min(int(cap), n)
+                )
+    overflow = (
+        worst["t_padded"] > sizes.T_padded
+        or worst["dropped"] > 0
+        or worst["cap_overflow"] > 0
+    )
+    worst["overflow"] = overflow
+    worst["T_padded_static"] = sizes.T_padded
+    if overflow:
+        msg = (
+            f"PallasSizes overflow: view {worst['view']} needs "
+            f"T_padded={worst['t_padded']} (static {sizes.T_padded}), "
+            f"{worst['dropped']} expansion entries would be truncated. "
+            f"Re-estimate sizes with a larger margin or probe_stride=1."
+        )
+        if raise_on_overflow:
+            raise ValueError(msg)
+        warnings.warn(msg)
+    return worst
+
+
 def build_plan_pure(
     means,
     quats,
@@ -442,48 +573,55 @@ def build_pallas_plan(
 # -------------------------------------------------------- param packing
 
 
-def pack_isect_params(proj: Projected, plan: PallasPlan):
-    """Pre-gather per-intersection geometry, transposed: (8, T_padded) with
-    rows [mx, my, conic_a, conic_b, conic_c, opacity, depth, pad]."""
+GEOM_ROWS = 8  # rows 0-7 of the packed table: geometry
+PACK_ROWS = 16  # + rows 8-15: colors [c0, c1, c2, depth, 0...]
+
+
+def pack_isect_all(
+    proj: Projected, colors3: Optional[jax.Array], plan: PallasPlan
+):
+    """Pre-gather per-intersection params, transposed: (16, T_padded)
+    with rows [mx, my, conic_a, conic_b, conic_c, opacity, depth, 0 |
+    c0, c1, c2, depth, 0, 0, 0, 0].
+
+    One merged gather: the TPU row gather is row-rate-bound (~75 M
+    rows/s measured for narrow rows), so gathering 64-B rows costs the
+    same as 32-B rows — merging geometry+colors halves pack time vs the
+    round-1 two-gather layout and lets the kernels run a single DMA
+    queue. The padded layout means every block DMA offset is a multiple
+    of BLOCK (Mosaic requires lane-tile alignment for HBM slices) and
+    always in bounds."""
     order = plan.order
     opac = jnp.where(proj.valid, proj.opacities, 0.0)
+    zeros = jnp.zeros_like(opac)
+    if colors3 is None:
+        c0 = c1 = c2 = zeros
+    else:
+        c0, c1, c2 = colors3[:, 0], colors3[:, 1], colors3[:, 2]
     packed = jnp.stack(
         [
-            proj.means2d[order, 0],
-            proj.means2d[order, 1],
-            proj.conics[order, 0],
-            proj.conics[order, 1],
-            proj.conics[order, 2],
-            opac[order],
-            proj.depths[order],
-            jnp.zeros_like(opac),
+            proj.means2d[:, 0],
+            proj.means2d[:, 1],
+            proj.conics[:, 0],
+            proj.conics[:, 1],
+            proj.conics[:, 2],
+            opac,
+            proj.depths,
+            zeros,
+            c0,
+            c1,
+            c2,
+            proj.depths,
+            zeros,
+            zeros,
+            zeros,
+            zeros,
         ],
         axis=1,
-    )  # (N, 8)
-    dummy = jnp.zeros((1, 8), packed.dtype)
-    packed = jnp.concatenate([packed, dummy], axis=0)  # (N+1, 8)
-    # Row gather (fast on TPU), then one transpose to the lane-major
-    # layout the kernel DMAs from. The padded layout means every block
-    # DMA offset is a multiple of BLOCK (Mosaic requires lane-tile
-    # alignment for HBM slices) and always in bounds.
-    return jnp.transpose(packed[plan.padded_gid])  # (8, T_padded)
-
-
-def pack_isect_colors(colors: jax.Array, depths: jax.Array, plan: PallasPlan):
-    """(8, T_padded) transposed color rows [c0..cD-1, depth, 0...] in
-    padded isect order — same lane-major layout as the geometry so block
-    DMAs are lane-tile aligned (Mosaic forbids minor-dim-8 HBM slices)."""
-    n, d = colors.shape
-    cols = jnp.concatenate(
-        [
-            colors[plan.order],
-            depths[plan.order][:, None],
-            jnp.zeros((n, 8 - d - 1), colors.dtype),
-        ],
-        axis=1,
-    )
-    cols = jnp.concatenate([cols, jnp.zeros((1, 8), cols.dtype)], axis=0)
-    return jnp.transpose(cols[plan.padded_gid])  # (8, T_padded)
+    )[order]  # (N, 16)
+    dummy = jnp.zeros((1, PACK_ROWS), packed.dtype)
+    packed = jnp.concatenate([packed, dummy], axis=0)  # (N+1, 16)
+    return jnp.transpose(packed[plan.padded_gid])  # (16, T_padded)
 
 
 # ------------------------------------------------------------- kernels
@@ -552,13 +690,10 @@ def _make_render_kernel(ntx: int, ts: int, n_out: int, trans_eps: float, t_padde
         starts_ref,
         ends_ref,
         pstarts_ref,
-        geom_hbm,
-        cols_hbm,
+        packed_hbm,  # (16, T_padded) merged geometry+color rows
         img_ref,
         gbuf,
-        cbuf,
         gsem,
-        csem,
     ):
         t = pl.program_id(0)
         start = starts_ref[t]
@@ -574,19 +709,11 @@ def _make_render_kernel(ntx: int, ts: int, n_out: int, trans_eps: float, t_padde
 
         def fetch(slot, b):
             off = pl.multiple_of(pstart + b * BLOCK, BLOCK)
-            g = pltpu.make_async_copy(
-                geom_hbm.at[:, pl.ds(off, BLOCK)],
+            pltpu.make_async_copy(
+                packed_hbm.at[:, pl.ds(off, BLOCK)],
                 gbuf.at[slot],
                 gsem.at[slot],
-            )
-            c = pltpu.make_async_copy(
-                cols_hbm.at[:, pl.ds(off, BLOCK)],
-                cbuf.at[slot],
-                csem.at[slot],
-            )
-            g.start()
-            c.start()
-            return g, c
+            ).start()
 
         @pl.when(nb > 0)
         def _():
@@ -607,14 +734,9 @@ def _make_render_kernel(ntx: int, ts: int, n_out: int, trans_eps: float, t_padde
 
             off = pl.multiple_of(pstart + b * BLOCK, BLOCK)
             pltpu.make_async_copy(
-                geom_hbm.at[:, pl.ds(off, BLOCK)],
+                packed_hbm.at[:, pl.ds(off, BLOCK)],
                 gbuf.at[slot],
                 gsem.at[slot],
-            ).wait()
-            pltpu.make_async_copy(
-                cols_hbm.at[:, pl.ds(off, BLOCK)],
-                cbuf.at[slot],
-                csem.at[slot],
             ).wait()
 
             remaining = end - start - b * BLOCK
@@ -623,9 +745,12 @@ def _make_render_kernel(ntx: int, ts: int, n_out: int, trans_eps: float, t_padde
             # Per-channel accumulation: img[:, c] += sum_lanes w * col_c.
             # (n_out <= 4 small channel counts: lane reductions beat a
             # degenerate matmul and avoid transposing the color block.)
-            cols_t = cbuf[slot]  # (8, BLOCK) lane-major channels
             chans = [
-                jnp.sum(w * cols_t[c : c + 1, :], axis=1, keepdims=True)
+                jnp.sum(
+                    w * gbuf[slot, GEOM_ROWS + c : GEOM_ROWS + c + 1, :],
+                    axis=1,
+                    keepdims=True,
+                )
                 for c in range(n_out)
             ]
             img = img + jnp.concatenate(chans, axis=1)
@@ -641,12 +766,12 @@ def _make_render_kernel(ntx: int, ts: int, n_out: int, trans_eps: float, t_padde
         @pl.when(b_stop < nb)
         def _():
             slot = jax.lax.rem(b_stop, 2)
-            off = pl.multiple_of(pstart + b_stop * BLOCK, BLOCK)
             pltpu.make_async_copy(
-                geom_hbm.at[:, pl.ds(off, BLOCK)], gbuf.at[slot], gsem.at[slot]
-            ).wait()
-            pltpu.make_async_copy(
-                cols_hbm.at[:, pl.ds(off, BLOCK)], cbuf.at[slot], csem.at[slot]
+                packed_hbm.at[
+                    :, pl.ds(pl.multiple_of(pstart + b_stop * BLOCK, BLOCK), BLOCK)
+                ],
+                gbuf.at[slot],
+                gsem.at[slot],
             ).wait()
 
         img_ref[0, :, :n_out] = img
@@ -656,10 +781,9 @@ def _make_render_kernel(ntx: int, ts: int, n_out: int, trans_eps: float, t_padde
 
 
 def render_pallas_raw(
-    geom: jax.Array,  # (8, T_padded) from pack_isect_params
-    cols: jax.Array,  # (8, T_padded) from pack_isect_colors
+    packed: jax.Array,  # (16, T_padded) from pack_isect_all
     plan: PallasPlan,
-    n_out: int = 4,  # channels of cols actually used (rgb+depth)
+    n_out: int = 4,  # color channels actually used (rgb+depth)
     interpret: bool = False,
     trans_eps: float = TRANS_EPS,
 ):
@@ -674,15 +798,12 @@ def render_pallas_raw(
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
             (1, tspx, n_out + 1), lambda t, *_: (t, 0, 0)
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, 8, BLOCK), jnp.float32),
-            pltpu.VMEM((2, 8, BLOCK), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, PACK_ROWS, BLOCK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -691,7 +812,7 @@ def render_pallas_raw(
         out_shape=jax.ShapeDtypeStruct((n_tiles, tspx, n_out + 1), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(plan.tile_starts, plan.tile_ends, plan.padded_starts, geom, cols)
+    )(plan.tile_starts, plan.tile_ends, plan.padded_starts, packed)
     return out
 
 
@@ -712,7 +833,7 @@ def _make_adjoint_kernel(ntx: int, ts: int, d_chunk: int, trans_eps: float, t_pa
         starts_ref,
         ends_ref,
         pstarts_ref,
-        geom_hbm,
+        geom_hbm,  # (16, T_padded) merged pack (only rows 0-7 used)
         feat_ref,  # (1, tspx, d_chunk) VMEM (blocked per tile)
         contrib_hbm,  # (T_padded + BLOCK, d_chunk) ANY
         gbuf,
@@ -855,7 +976,7 @@ def _make_adjoint_kernel(ntx: int, ts: int, d_chunk: int, trans_eps: float, t_pa
 
 
 def adjoint_pallas_raw(
-    geom: jax.Array,  # (8, T_padded)
+    geom: jax.Array,  # (16, T_padded) merged pack (rows 0-7 used)
     feat_tiles: jax.Array,  # (n_tiles, tspx, d_chunk)
     plan: PallasPlan,
     interpret: bool = False,
@@ -882,7 +1003,7 @@ def adjoint_pallas_raw(
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((2, 8, BLOCK), jnp.float32),
+            pltpu.VMEM((2, PACK_ROWS, BLOCK), jnp.float32),
             pltpu.VMEM((2, BLOCK, d_chunk), out_dtype),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
@@ -912,7 +1033,15 @@ def reduce_contribs(
     The slot table rows are sorted by descending cover count, so column
     j's real entries form a prefix; with static prefix caps
     (``cover_caps`` from the size estimation) each column gathers only
-    ~the real intersections instead of N rows of mostly dummies."""
+    ~the real intersections instead of N rows of mostly dummies.
+
+    Perf notes (measured, TPU v5e, garden scale): the row gather runs at
+    ~46 GB/s for 1280-B rows and is the floor (~73 ms); everything else
+    here is arranged so the gather happens ONCE over all columns and the
+    per-Gaussian accumulation is a handful of reshape-sums / slice-adds
+    over the gathered buffer — the previous per-column-group structure
+    (24 gathers + f32 materialization + serialization tokens) cost 4x
+    the gather itself."""
     slots = plan.slots  # (N, cover_pad), cover-sorted rows
     n, cover = slots.shape
     D = contribs.shape[-1]
@@ -922,45 +1051,51 @@ def reduce_contribs(
         cap = cover_caps[j] if j < len(cover_caps) else n
         return min(max(int(cap), 1), n)
 
-    # Gather over concatenated static column prefixes (few big gathers
-    # beat many small ones), then pure slice adds. Unused slots point at
-    # the dummy zero block the kernel wrote at T_padded, so no masking
-    # is needed. Columns are processed in a couple of groups to bound
-    # the transient gathered-rows buffer.
     caps = [cap_of(j) for j in range(cover)]
-    acc = jnp.zeros((n, D), jnp.float32)
-    # group columns so each gather handles ~1M rows (bounds the transient)
-    bounds = []
-    j0, acc_rows = 0, 0
-    for j in range(cover):
-        acc_rows += caps[j]
-        if acc_rows >= 1_000_000 or j == cover - 1:
-            bounds.append((j0, j + 1))
-            j0, acc_rows = j + 1, 0
-    for j0, j1 in bounds:
-        cols = [
-            jax.lax.slice_in_dim(slots, j, j + 1, axis=1)[: caps[j], 0]
-            for j in range(j0, j1)
-        ]
-        if not cols:
-            continue
-        flat = jnp.concatenate(cols, axis=0)
-        # Serialize groups: without this dependency XLA schedules all
-        # group gathers concurrently and their transient rows buffers
-        # are simultaneously live (OOM at garden scale).
-        token = jax.lax.convert_element_type(acc[0, 0], jnp.int32) * 0
-        flat = flat + token
-        rows = contribs[flat]  # (sum group caps, D)
-        off = 0
-        for j in range(j0, j1):
-            c = caps[j]
-            acc = acc.at[:c, :].add(
-                jax.lax.dynamic_slice_in_dim(rows, off, c, axis=0).astype(
-                    jnp.float32
-                )
+    # Group adjacent columns with EQUAL caps — their gathered prefixes
+    # stack into a (k, cap, D) block whose reduction over k is one
+    # sum (far less accumulator read-modify-write traffic than one
+    # slice-add per column) — while bounding each gather's transient
+    # rows buffer to ~max_rows (the contrib buffer is several GB at
+    # garden scale; an unbounded flat gather OOMs inside the grouped
+    # multi-view dispatch).
+    max_rows = 1_250_000
+    groups = []  # (j0, j1, cap)
+    j = 0
+    while j < cover:
+        j1 = j
+        while (
+            j1 + 1 < cover
+            and caps[j1 + 1] == caps[j]
+            and (j1 + 2 - j) * caps[j] <= max_rows
+        ):
+            j1 += 1
+        groups.append((j, j1 + 1, caps[j]))
+        j = j1 + 1
+
+    acc = None
+    for (j0, j1, cap) in groups:
+        k = j1 - j0
+        flat = jax.lax.slice_in_dim(slots, j0, j1, axis=1)[:cap].T.reshape(-1)
+        if acc is not None:
+            # Serialize group gathers on the running accumulator:
+            # without this dependency XLA schedules them concurrently
+            # and their transient rows buffers are live simultaneously.
+            token = jax.lax.convert_element_type(acc[0, 0], jnp.int32) * 0
+            flat = flat + token
+        # Unused slots point at the dummy zero block the adjoint kernel
+        # wrote at T_padded, so no masking is needed.
+        block = contribs[flat]  # (k*cap, D) in contrib dtype (bf16)
+        if k > 1:
+            part = jnp.sum(
+                block.reshape(k, cap, D), axis=0, dtype=jnp.float32
             )
-            off += c
-        acc = jax.lax.optimization_barrier(acc)
+        else:
+            part = block.astype(jnp.float32)
+        if acc is None:  # first group initializes (saves one full pass)
+            acc = part if cap == n else jnp.pad(part, ((0, n - cap), (0, 0)))
+        else:
+            acc = acc.at[:cap, :].add(part)
     inv = jnp.zeros((n,), jnp.int32).at[plan.slot_order].set(
         jnp.arange(n, dtype=jnp.int32)
     )
@@ -985,23 +1120,26 @@ def render_view_pallas(
     proj_config: ProjectionConfig = ProjectionConfig(),
     interpret: bool = False,
     trans_eps: float = TRANS_EPS,
+    packed: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Fast fused render for one camera. Returns (image (H,W,C), alpha)."""
+    """Fast fused render for one camera. Returns (image (H,W,C), alpha).
+    Pass ``packed`` (from :func:`pack_isect_all`) to reuse a pack shared
+    with the adjoint — the fused back-projection path does."""
     from tpugs.raster.api import _prepare_colors
 
-    proj = project(
-        means, quats, scales, opacities, viewmat, K,
-        plan.width, plan.height, proj_config,
-    )
-    cols3 = _prepare_colors(means, colors, viewmat, sh_degree)
-    geom = pack_isect_params(proj, plan)
-    packed_cols = pack_isect_colors(cols3, proj.depths, plan)
+    if packed is None:
+        proj = project(
+            means, quats, scales, opacities, viewmat, K,
+            plan.width, plan.height, proj_config,
+        )
+        cols3 = _prepare_colors(means, colors, viewmat, sh_degree)
+        packed = pack_isect_all(proj, cols3, plan)
 
     want_rgb = render_mode in ("RGB", "RGB+D", "RGB+ED")
     want_depth = render_mode in ("RGB+D", "RGB+ED", "D", "ED")
     n_out = 4  # rgb + depth always computed (cheap; sliced below)
 
-    tiles = render_pallas_raw(geom, packed_cols, plan, n_out, interpret, trans_eps)
+    tiles = render_pallas_raw(packed, plan, n_out, interpret, trans_eps)
     img_full = tiles_to_image(tiles, plan.width, plan.height, plan.tile_size)
     rgb = img_full[..., :3]
     depth = img_full[..., 3:4]
@@ -1036,6 +1174,7 @@ def backproject_view_pallas(
     interpret: bool = False,
     trans_eps: float = TRANS_EPS,
     contrib_dtype=jnp.float32,
+    packed: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Fused adjoint for one camera: (feat_sums (N, D), weight_sums (N,))
     in original Gaussian order. A ones-channel is prepended to the
@@ -1044,14 +1183,17 @@ def backproject_view_pallas(
     Channels are processed in d_chunk passes so the per-intersection
     contribution buffer stays bounded; with ``d_chunk >= D+1`` the whole
     adjoint is a single pass (use ``contrib_dtype=bfloat16`` to halve
-    the buffer — ~0.4% relative error on the lifted features)."""
+    the buffer — ~0.4% relative error on the lifted features).
+    Pass ``packed`` to reuse the render pass's pack (fused path)."""
     from tpugs.raster.adjoint import image_to_tiles
 
-    proj = project(
-        means, quats, scales, opacities, viewmat, K,
-        plan.width, plan.height, proj_config,
-    )
-    geom = pack_isect_params(proj, plan)
+    if packed is None:
+        proj = project(
+            means, quats, scales, opacities, viewmat, K,
+            plan.width, plan.height, proj_config,
+        )
+        packed = pack_isect_all(proj, None, plan)
+    geom = packed
     H, W, D = feat_image.shape
     # Work in the contribution dtype from the start so no full-size f32
     # intermediates (concat / tiles) are ever materialized.

@@ -47,6 +47,26 @@ class TrainConfig:
     depth_lambda: float = 0.01
     opacity_reg: float = 0.0
     scale_reg: float = 0.0
+    # random background to discourage transparency (reference :118,578-580)
+    random_bkgd: bool = True
+
+    # camera pose optimization (reference :124-131)
+    pose_opt: bool = False
+    pose_opt_lr: float = 1e-5
+    pose_opt_reg: float = 1e-6  # weight decay
+    pose_noise: float = 0.0  # synthetic extrinsics noise (pose-opt testing)
+
+    # appearance optimization (reference :134-141; the reference builds
+    # the module + optimizers at :363-384 but its application inside
+    # rasterize_splats is commented out — here it is actually applied)
+    app_opt: bool = False
+    app_embed_dim: int = 16
+    app_opt_lr: float = 1e-3
+    app_opt_reg: float = 1e-6
+
+    # eval extras
+    lpips_net: str = "alex"  # alex | vgg (weights loaded via codec file)
+    compression: str = ""  # "png" -> run PngCompression-style eval (:911-926)
 
     # learning rates (reference create_splats_with_optimizers :233-254)
     means_lr: float = 1.6e-4

@@ -149,6 +149,16 @@ def make_optimizer(cfg: TrainConfig, scene_scale: float, batch_size: int = 1):
     return optax.multi_transform(txs, label_fn)
 
 
+def _rigid_inverse(m: jax.Array) -> jax.Array:
+    """Inverse of a rigid 4x4 [R t; 0 1] (viewmat <-> camtoworld)."""
+    R = m[:3, :3]
+    t = m[:3, 3]
+    inv = jnp.eye(4, dtype=m.dtype)
+    inv = inv.at[:3, :3].set(R.T)
+    inv = inv.at[:3, 3].set(-R.T @ t)
+    return inv
+
+
 class Trainer:
     """Single-host trainer. For multi-chip, wrap the step with the mesh
     machinery in ``tpugs/dist`` (DP over cameras + gauss sharding)."""
@@ -161,6 +171,8 @@ class Trainer:
         teacher: Optional[Callable] = None,  # (H, W, 3) -> (H, W, D_out)
         width: int = 0,
         height: int = 0,
+        n_cameras: int = 0,
+        lpips_params: Optional[dict] = None,
     ):
         self.cfg = cfg
         self.scene = scene
@@ -168,6 +180,8 @@ class Trainer:
         self.teacher = teacher
         self.width = width
         self.height = height
+        self.n_cameras = n_cameras
+        self.lpips_params = lpips_params
         self.optimizer = make_optimizer(cfg, scene_scale, cfg.batch_size)
         self.opt_state = self.optimizer.init(scene)
         self.strategy = make_strategy(cfg, scene_scale, cfg.seed)
@@ -181,6 +195,82 @@ class Trainer:
         )
         self.tile_config = TileConfig()
         self._tb = None
+        self._rng = np.random.default_rng(cfg.seed + 7)
+        self._init_pose_app()
+
+    # -------------------------------------------------- pose / appearance
+    def _init_pose_app(self):
+        """Camera-pose + appearance modules with their own optimizers
+        (reference ``:343-384``: pose Adam lr*sqrt(BS) wd=pose_opt_reg;
+        appearance embeds at 10x the head lr)."""
+        cfg = self.cfg
+        bs = float(np.sqrt(cfg.batch_size))
+        self.pose_params = None
+        self.pose_opt_state = None
+        self.pose_perturb = None
+        self.app_params = None
+        self.app_opt_state = None
+        if cfg.pose_opt and self.n_cameras > 0:
+            ident = jnp.tile(
+                jnp.array([1, 0, 0, 0, 1, 0, 0, 0, 0], jnp.float32),
+                (self.n_cameras, 1),
+            )
+            self.pose_params = ident
+            self.pose_optimizer = optax.adamw(
+                cfg.pose_opt_lr * bs, weight_decay=cfg.pose_opt_reg
+            )
+            self.pose_opt_state = self.pose_optimizer.init(self.pose_params)
+        if cfg.pose_noise > 0.0 and self.n_cameras > 0:
+            rng = np.random.default_rng(cfg.seed + 11)
+            noise = rng.normal(
+                0, cfg.pose_noise, (self.n_cameras, 9)
+            ).astype(np.float32)
+            noise[:, :6] += np.array([1, 0, 0, 0, 1, 0], np.float32)
+            self.pose_perturb = jnp.asarray(noise)
+        if cfg.app_opt and self.n_cameras > 0 and self.scene.features is not None:
+            from tpugs.train.modules import AppearanceOptModule
+
+            self.app_module = AppearanceOptModule(
+                n_images=self.n_cameras,
+                feature_dim=self.scene.features.shape[-1],
+                embed_dim=cfg.app_embed_dim,
+                sh_degree=cfg.sh_degree,
+            )
+            key = jax.random.PRNGKey(cfg.seed + 13)
+            dummy_feats = jnp.zeros((4, self.scene.features.shape[-1]))
+            dummy_dirs = jnp.ones((4, 3))
+            self.app_params = self.app_module.init(
+                key, dummy_feats, jnp.int32(0), dummy_dirs
+            )
+            # zero the output head so the initial appearance is neutral
+            # (reference zero-inits color_head[-1], :370-372)
+            p = self.app_params["params"]
+            p["out"]["kernel"] = jnp.zeros_like(p["out"]["kernel"])
+            p["out"]["bias"] = jnp.zeros_like(p["out"]["bias"])
+
+            def app_label(params):
+                return jax.tree_util.tree_map_with_path(
+                    lambda path, _: (
+                        "embeds"
+                        if any(
+                            getattr(k, "key", None) == "embeds" for k in path
+                        )
+                        else "head"
+                    ),
+                    params,
+                )
+
+            self.app_optimizer = optax.multi_transform(
+                {
+                    "embeds": optax.adamw(
+                        cfg.app_opt_lr * bs * 10.0,
+                        weight_decay=cfg.app_opt_reg,
+                    ),
+                    "head": optax.adam(cfg.app_opt_lr * bs),
+                },
+                app_label,
+            )
+            self.app_opt_state = self.app_optimizer.init(self.app_params)
 
     # ------------------------------------------------------- observability
     def enable_tensorboard(self, log_dir: str):
@@ -216,12 +306,33 @@ class Trainer:
         self._sizes = (bucket(int(mc * margin)), bucket(int(mb * margin)))
 
     # --------------------------------------------------------- train step
+    def _apply_pose_delta(self, c2w: jax.Array, d: jax.Array) -> jax.Array:
+        """camtoworld @ [6d-rot | t] (reference CameraOptModule forward)."""
+        from tpugs.train.modules import rotation_6d_to_matrix
+
+        rot = rotation_6d_to_matrix(d[:6])
+        tf = jnp.eye(4, dtype=c2w.dtype)
+        tf = tf.at[:3, :3].set(rot)
+        tf = tf.at[:3, 3].set(d[6:])
+        return c2w @ tf
+
     def _loss_fn(
-        self, scene: GaussianScene, offset2d, viewmat, K, image,
-        teacher_feats, points, point_depths, sh_degree, sizes,
+        self, scene: GaussianScene, offset2d, aux_params, viewmat, K, image,
+        teacher_feats, points, point_depths, point_mask, cam_id, bkgd,
+        sh_degree, sizes,
     ):
         cfg = self.cfg
         max_cover, max_blocks = sizes
+        # Camera pose residuals (reference :555-561): noise perturbation
+        # first (fixed), then the learned adjustment, both on camtoworld.
+        pose_params = aux_params.get("pose")
+        if self.pose_perturb is not None or pose_params is not None:
+            c2w = _rigid_inverse(viewmat)
+            if self.pose_perturb is not None:
+                c2w = self._apply_pose_delta(c2w, self.pose_perturb[cam_id])
+            if pose_params is not None:
+                c2w = self._apply_pose_delta(c2w, pose_params[cam_id])
+            viewmat = _rigid_inverse(c2w)
         proj = project(
             scene.means, scene.quats, scene.scales, scene.opacities,
             viewmat, K, self.width, self.height, self.proj_config,
@@ -241,6 +352,15 @@ class Trainer:
         opac = jnp.where(proj.valid, proj.opacities, 0.0)
         dirs = view_directions(scene.means, viewmat)
         colors = sh_mod.sh_to_color(scene.colors_all, dirs, sh_degree)
+        app_params = aux_params.get("app")
+        if app_params is not None:
+            # additive appearance color (reference builds+optimizes the
+            # module at :363-384; its application in rasterize_splats is
+            # commented out there — here it is actually applied)
+            app_rgb = self.app_module.apply(
+                app_params, scene.features, cam_id, dirs
+            )
+            colors = colors + app_rgb
         chans = [colors]
         if cfg.depth_loss:
             chans.append(proj.depths[:, None])
@@ -254,6 +374,9 @@ class Trainer:
         )
         rgb = img[..., :3]
         off = 3
+        if cfg.random_bkgd:
+            # random background against transparency (reference :578-580)
+            rgb = rgb + bkgd[None, None, :] * (1.0 - alpha[..., None])
         l1 = jnp.mean(jnp.abs(rgb - image))
         dssim = ssim_loss(rgb, image)
         loss = (1.0 - cfg.ssim_lambda) * l1 + cfg.ssim_lambda * dssim
@@ -265,13 +388,14 @@ class Trainer:
             if points is not None:
                 xy = points.astype(jnp.int32)
                 pred = depth_img[xy[:, 1], xy[:, 0], 0]
-                # disparity L1 (reference :613-631)
-                depth_l = jnp.mean(
-                    jnp.abs(
-                        1.0 / jnp.maximum(pred, 1e-6)
-                        - 1.0 / jnp.maximum(point_depths, 1e-6)
-                    )
+                # disparity L1 (reference :613-631), masked so padded
+                # point slots contribute nothing
+                err = jnp.abs(
+                    1.0 / jnp.maximum(pred, 1e-6)
+                    - 1.0 / jnp.maximum(point_depths, 1e-6)
                 )
+                w = point_mask.astype(jnp.float32)
+                depth_l = jnp.sum(w * err) / jnp.maximum(jnp.sum(w), 1.0)
                 loss = loss + cfg.depth_lambda * depth_l
 
         feat_l = jnp.float32(0.0)
@@ -299,31 +423,53 @@ class Trainer:
         jax.jit, static_argnames=("self", "sh_degree", "sizes", "with_depth")
     )
     def _train_step_jit(
-        self, scene, opt_state, viewmat, K, image, teacher_feats,
-        points, point_depths, sh_degree, sizes, with_depth,
+        self, scene, opt_state, pose_params, pose_opt_state,
+        app_params, app_opt_state, viewmat, K, image, teacher_feats,
+        points, point_depths, point_mask, cam_id, bkgd,
+        sh_degree, sizes, with_depth,
     ):
-        def lf(s, off):
+        def lf(s, off, aux_params):
             return self._loss_fn(
-                s, off, viewmat, K, image, teacher_feats,
+                s, off, aux_params, viewmat, K, image, teacher_feats,
                 points if with_depth else None,
                 point_depths if with_depth else None,
-                sh_degree, sizes,
+                point_mask if with_depth else None,
+                cam_id, bkgd, sh_degree, sizes,
             )
 
         offset0 = jnp.zeros((scene.num_gaussians, 2), jnp.float32)
-        (loss, aux), (grads, goff) = jax.value_and_grad(
-            lf, argnums=(0, 1), has_aux=True
-        )(scene, offset0)
-        grad2d = jnp.linalg.norm(goff, axis=1)
+        aux_params = {"pose": pose_params, "app": app_params}
+        (loss, aux), (grads, goff, gaux) = jax.value_and_grad(
+            lf, argnums=(0, 1, 2), has_aux=True
+        )(scene, offset0, aux_params)
+        # gsplat's DefaultStrategy compares NDC-scaled screen grads
+        # (pixel grads x [W/2, H/2]) against grow_grad2d; match its units
+        ndc_scale = jnp.array(
+            [self.width / 2.0, self.height / 2.0], jnp.float32
+        )
+        grad2d = jnp.linalg.norm(goff * ndc_scale, axis=1)
         updates, opt_state = self.optimizer.update(grads, opt_state, scene)
         scene = optax.apply_updates(scene, updates)
+        if pose_params is not None:
+            pu, pose_opt_state = self.pose_optimizer.update(
+                gaux["pose"], pose_opt_state, pose_params
+            )
+            pose_params = optax.apply_updates(pose_params, pu)
+        if app_params is not None:
+            au, app_opt_state = self.app_optimizer.update(
+                gaux["app"], app_opt_state, app_params
+            )
+            app_params = optax.apply_updates(app_params, au)
         stats = {
             "loss": loss,
             **{k: v for k, v in aux.items() if k != "visible"},
             "grad2d": grad2d,
             "visible": aux["visible"],
         }
-        return scene, opt_state, stats
+        return (
+            scene, opt_state, pose_params, pose_opt_state,
+            app_params, app_opt_state, stats,
+        )
 
     def train_step(self, batch: dict, teacher_feats=None) -> dict:
         cfg = self.cfg
@@ -337,22 +483,41 @@ class Trainer:
         with_depth = cfg.depth_loss and "points" in batch
         pts = batch.get("points")
         dep = batch.get("depths")
+        pmask = None
         if with_depth:
             cap = 4096
             pts = np.zeros((cap, 2), np.float32)
             dep = np.ones((cap,), np.float32)
+            pmask = np.zeros((cap,), np.float32)
             m = min(cap, len(batch["points"]))
             pts[:m] = batch["points"][:m]
             dep[:m] = batch["depths"][:m]
-        self.scene, self.opt_state, stats = self._train_step_jit(
+            pmask[:m] = 1.0
+        cam_id = jnp.int32(batch.get("image_id", 0))
+        bkgd = jnp.asarray(
+            self._rng.uniform(0, 1, 3).astype(np.float32)
+            if cfg.random_bkgd
+            else np.zeros(3, np.float32)
+        )
+        (
+            self.scene, self.opt_state, self.pose_params,
+            self.pose_opt_state, self.app_params, self.app_opt_state, stats,
+        ) = self._train_step_jit(
             self.scene,
             self.opt_state,
+            self.pose_params,
+            self.pose_opt_state,
+            self.app_params,
+            self.app_opt_state,
             jnp.asarray(batch["viewmat"]),
             jnp.asarray(batch["K"]),
             jnp.asarray(batch["image"]),
             None if teacher_feats is None else jnp.asarray(teacher_feats),
             None if pts is None else jnp.asarray(pts),
             None if dep is None else jnp.asarray(dep),
+            None if pmask is None else jnp.asarray(pmask),
+            cam_id,
+            bkgd,
             sh_degree,
             self._sizes,
             with_depth,
@@ -373,6 +538,9 @@ class Trainer:
                 and self.step % cfg.reset_every == 0
             ):
                 self.scene = self.strategy.reset_opacities(self.scene)
+                # gsplat zeroes Adam moments for the opacities group on
+                # reset; stale second moments would let opacities rebound
+                self._reset_opt_group("opacities")
         self.step += 1
         out = {
             k: float(v)
@@ -382,6 +550,13 @@ class Trainer:
         if self._tb is not None and self.step % self.cfg.tb_every == 0:
             self.log_scalars(out)
         return out
+
+    def _reset_opt_group(self, label: str):
+        """Replace one multi_transform group's state with a fresh init."""
+        fresh = self.optimizer.init(self.scene)
+        inner = dict(self.opt_state.inner_states)
+        inner[label] = fresh.inner_states[label]
+        self.opt_state = self.opt_state._replace(inner_states=inner)
 
     def refine(self):
         new_scene, new_state, info = self.strategy.refine(
@@ -411,7 +586,17 @@ class Trainer:
         )
 
     def evaluate(self, dataset, max_images: Optional[int] = None) -> dict:
-        psnrs, ssims, times = [], [], []
+        """PSNR/SSIM/LPIPS over the val split (reference ``:783-856``;
+        LPIPS reported when weights were provided) plus the PNG
+        compression eval when configured (reference ``:911-926``)."""
+        psnrs, ssims, lpipses, times = [], [], [], []
+        lp = None
+        if self.lpips_params is not None:
+            from tpugs.train.lpips import lpips_distance
+
+            lp = jax.jit(
+                functools.partial(lpips_distance, self.lpips_params)
+            )
         n = len(dataset) if max_images is None else min(max_images, len(dataset))
         for i in range(n):
             data = dataset[i]
@@ -422,19 +607,127 @@ class Trainer:
             gt = jnp.asarray(data["image"])
             psnrs.append(float(psnr(img, gt)))
             ssims.append(float(ssim(img, gt)))
-        return {
+            if lp is not None:
+                lpipses.append(float(lp(img, gt)))
+        out = {
             "psnr": float(np.mean(psnrs)) if psnrs else 0.0,
             "ssim": float(np.mean(ssims)) if ssims else 0.0,
             "ellipse_time": float(np.mean(times)) if times else 0.0,
             "num_GS": self.scene.num_gaussians,
         }
+        if lpipses:
+            out["lpips"] = float(np.mean(lpipses))
+        if self.cfg.compression == "png":
+            out["compression"] = self.eval_compression()
+        return out
+
+    def eval_compression(self) -> dict:
+        """PNG-compress the scene and report size + reconstruction PSNR
+        on a canonical view (reference PngCompression eval ``:911-926``)."""
+        import tempfile
+
+        from tpugs.io.compression import (
+            compress_scene,
+            compressed_size_bytes,
+            decompress_scene,
+        )
+
+        with tempfile.TemporaryDirectory() as td:
+            compress_scene(self.scene, td)
+            size = compressed_size_bytes(td)
+            restored = decompress_scene(td)
+        center = np.asarray(jnp.mean(self.scene.means, axis=0))
+        r = float(
+            np.percentile(
+                np.asarray(
+                    jnp.linalg.norm(self.scene.means - center, axis=1)
+                ),
+                90,
+            )
+        )
+        vm = np.eye(4, dtype=np.float32)
+        vm[:3, 3] = -center + np.array([0, 0, 2.5 * max(r, 1e-3)])
+        f = 1.2 * max(self.width, self.height, 64)
+        K = np.array(
+            [
+                [f, 0, max(self.width, 64) / 2],
+                [0, f, max(self.height, 64) / 2],
+                [0, 0, 1],
+            ],
+            np.float32,
+        )
+        orig, _ = self.render_eval(vm, K)
+        self_scene, self.scene = self.scene, restored
+        try:
+            rec, _ = self.render_eval(vm, K)
+        finally:
+            self.scene = self_scene
+        return {
+            "compressed_bytes": int(size),
+            "psnr_vs_uncompressed": float(psnr(
+                jnp.clip(rec, 0, 1), jnp.clip(orig, 0, 1)
+            )),
+        }
 
     # ------------------------------------------------------------- outputs
     def save_checkpoint(self, path: str):
+        """Scene-only npz (scene export format; see
+        :meth:`save_checkpoint_full` for the resumable trainer state)."""
         from tpugs.io.checkpoints import save_scene_npz
 
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         save_scene_npz(self.scene, path)
+
+    def save_checkpoint_full(self, path: str):
+        """Resumable checkpoint: scene + step + optimizer state +
+        pose/appearance module state (the reference saves
+        ``ckpt_{step}_rank{rank}.pt`` incl. module state, ``:683-709``)."""
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        flat = {"step": np.asarray(self.step)}
+
+        def put(prefix, tree):
+            leaves, treedef = jax.tree_util.tree_flatten(tree)
+            flat[f"{prefix}__treedef"] = np.frombuffer(
+                str(treedef).encode(), dtype=np.uint8
+            )
+            for i, leaf in enumerate(leaves):
+                flat[f"{prefix}__{i}"] = np.asarray(leaf)
+
+        put("scene", self.scene)
+        put("opt", self.opt_state)
+        if self.pose_params is not None:
+            put("pose", self.pose_params)
+            put("pose_opt", self.pose_opt_state)
+        if self.app_params is not None:
+            put("app", self.app_params)
+            put("app_opt", self.app_opt_state)
+        np.savez(path, **flat)
+
+    def load_checkpoint_full(self, path: str):
+        """Restore a :meth:`save_checkpoint_full` checkpoint. Pytree
+        structures come from the CURRENT trainer (same config); leaf
+        shapes come from the file, so a checkpoint taken after
+        densification (different N) restores correctly."""
+        data = np.load(path, allow_pickle=False)
+        self.step = int(data["step"])
+
+        def get(prefix, template):
+            leaves, treedef = jax.tree_util.tree_flatten(template)
+            new = []
+            for i, leaf in enumerate(leaves):
+                arr = data[f"{prefix}__{i}"]
+                new.append(jnp.asarray(arr))
+            return jax.tree_util.tree_unflatten(treedef, new)
+
+        self.scene = get("scene", self.scene)
+        self.opt_state = get("opt", self.opt_state)
+        if self.pose_params is not None and "pose__0" in data:
+            self.pose_params = get("pose", self.pose_params)
+            self.pose_opt_state = get("pose_opt", self.pose_opt_state)
+        if self.app_params is not None and "app__0" in data:
+            self.app_params = get("app", self.app_params)
+            self.app_opt_state = get("app_opt", self.app_opt_state)
+        self._sizes = None
 
     def save_stats(self, stats: dict, path: str):
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
