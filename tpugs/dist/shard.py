@@ -22,8 +22,11 @@ from __future__ import annotations
 import functools
 from typing import Callable, Tuple
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
+import optax
 from jax.sharding import Mesh, PartitionSpec as P
 
 from tpugs.core.scene import GaussianScene
@@ -94,6 +97,164 @@ def gather_scene(scene_shard: GaussianScene, axis: str) -> GaussianScene:
     )
     # feature_proj (if any) is shared, not per-Gaussian: keep the local copy.
     return gathered.replace(feature_proj=scene_shard.feature_proj)
+
+
+def backproject_views_sharded_pallas(
+    scene: GaussianScene,
+    viewmats: jax.Array,  # (C, 4, 4) — C divisible by mesh size (pad first)
+    Ks: jax.Array,
+    cam_weights: jax.Array,  # (C,)
+    width: int,
+    height: int,
+    encoder: Callable,
+    sizes,  # PallasSizes
+    mesh: Mesh,
+    proj_config: ProjectionConfig = ProjectionConfig(),
+    tile_size: int = 32,
+    d_chunk: int = 640,
+    contrib_dtype=jnp.bfloat16,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Production sharded back-projection: the Pallas fused kernels
+    (``lift/pallas_batch.backproject_views_pallas``) run per device over
+    that device's camera shard; partial accumulators are psum-reduced
+    and the result lands gauss-sharded. The pure-JAX
+    :func:`backproject_views_sharded` stays as the CPU-mesh oracle.
+    Pass ``interpret=True`` on CPU meshes (Pallas interpreter)."""
+    from tpugs.lift.pallas_batch import backproject_views_pallas
+
+    all_axes = tuple(mesh.axis_names)
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(all_axes), P(all_axes), P(all_axes)),
+        out_specs=(P(all_axes[-1]), P(all_axes[-1])),
+        check_vma=False,
+    )
+    def run(scene_rep, vms, ks, wgts):
+        num, den = backproject_views_pallas(
+            scene_rep, vms, ks, width, height, encoder, sizes,
+            cam_weights=wgts, d_chunk=d_chunk, proj_config=proj_config,
+            interpret=interpret, tile_size=tile_size,
+            contrib_dtype=contrib_dtype,
+        )
+        gauss = all_axes[-1]
+        others = all_axes[:-1]
+        if others:
+            num = jax.lax.psum(num, others)
+            den = jax.lax.psum(den, others)
+        num = jax.lax.psum_scatter(num, gauss, scatter_dimension=0, tiled=True)
+        den = jax.lax.psum_scatter(den, gauss, scatter_dimension=0, tiled=True)
+        return num, den
+
+    return run(scene, viewmats, Ks, cam_weights)
+
+
+def make_trainer_step_sharded(trainer, mesh: Mesh, batch_size: int):
+    """Production multi-chip train step: the REAL trainer loss
+    (L1 + SSIM + feature distillation + regularizers, schedules, per-
+    group optax) over a ``cam × gauss`` mesh.
+
+    Semantics mirror the reference's distributed Runner
+    (``f3dgs/simple_trainer_feature_3dgs.py:205-208,460``): Gaussian
+    parameters (and their Adam moments) are sharded over ``gauss``,
+    rendering all-gathers the shard (autodiff inserts the matching
+    reduce-scatter for the gradients), and the loss is the mean over a
+    ``batch_size``-camera batch data-parallel over ``cam`` — gradient
+    psum over ``cam`` is the DDP equivalent.
+
+    Returns ``step(scene, opt_state, viewmats, Ks, images, teachers,
+    bkgds) -> (scene, opt_state, loss, grad2d)`` operating on GLOBAL
+    arrays (jit shards them per spec); ``teachers`` is (B, H, W, D_out)
+    — pass zeros when the scene has no feature field (ignored).
+    ``grad2d`` is the full-N densification stat in gsplat's NDC units. Requires ``trainer._sizes`` to be set and
+    ``batch_size`` divisible by the cam-axis size, N by the gauss size.
+    Pose/appearance modules are not supported here (replicated-module
+    DDP would psum their grads; assert off)."""
+    cam_axis, gauss_axis = mesh.axis_names[0], mesh.axis_names[-1]
+    cam_n = mesh.shape[cam_axis]
+    gauss_n = mesh.shape[gauss_axis]
+    cfg = trainer.cfg
+    sizes = trainer._sizes
+    assert sizes is not None, "call trainer._estimate_sizes first"
+    assert trainer.pose_params is None and trainer.app_params is None, (
+        "pose/app modules are single-chip only for now"
+    )
+    n = trainer.scene.num_gaussians
+    assert n % gauss_n == 0 and batch_size % cam_n == 0
+    sh_degree = cfg.sh_degree
+    optimizer = trainer.optimizer
+    ndc = np.array([trainer.width / 2.0, trainer.height / 2.0], np.float32)
+
+    def leaf_spec(leaf):
+        if hasattr(leaf, "ndim") and leaf.ndim >= 1 and leaf.shape[0] == n:
+            return P(gauss_axis)
+        return P()
+
+    scene_spec = jax.tree_util.tree_map(leaf_spec, trainer.scene)
+    opt_spec = jax.tree_util.tree_map(leaf_spec, trainer.opt_state)
+    has_teacher = trainer.scene.features is not None
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(
+            scene_spec, opt_spec, P(cam_axis), P(cam_axis),
+            P(cam_axis), P(cam_axis), P(cam_axis),
+        ),
+        out_specs=(scene_spec, opt_spec, P(), P(gauss_axis)),
+        check_vma=False,
+    )
+    def step(scene_shard, opt_shard, vms, ks, images, teachers, bkgds):
+        def lf(shard, off):
+            scene = gather_scene(shard, gauss_axis)
+
+            def body(carry, inp):
+                vm, K, img, tf, bk = inp
+                l, _ = trainer._loss_fn(
+                    scene, off, {"pose": None, "app": None}, vm, K, img,
+                    tf if has_teacher else None, None, None, None,
+                    jnp.int32(0), bk, sh_degree, sizes,
+                )
+                return carry + l / batch_size, None
+
+            loss, _ = jax.lax.scan(
+                body, jnp.float32(0.0), (vms, ks, images, teachers, bkgds)
+            )
+            return loss
+
+        off0 = jnp.zeros((n, 2), jnp.float32)
+        loss, (grads, goff) = jax.value_and_grad(lf, argnums=(0, 1))(
+            scene_shard, off0
+        )
+        # DP sum over cameras: local losses are already /batch_size, so
+        # psum (not pmean) completes the global mean — and per-Gaussian
+        # grads from disjoint camera shards add, the DDP allreduce.
+        loss = jax.lax.psum(loss, cam_axis)
+        grads = jax.lax.psum(grads, cam_axis)
+        goff = jax.lax.psum(goff, cam_axis)
+        if gauss_n > 1:
+            # Every gauss-axis device computes the SAME replicated loss,
+            # so the psum_scatter transpose of gather_scene's all_gather
+            # sums gauss_n identical cotangents — normalize back. (The
+            # offset grads never traverse the all_gather, so goff is
+            # counted once already.)
+            grads = jax.tree_util.tree_map(lambda g: g / gauss_n, grads)
+        if gauss_n > 1:
+            # goff is full-N and identical across the gauss axis after
+            # the cam psum ONLY for the replicated offset input; keep
+            # each device's own copy and emit this shard's slice.
+            i = jax.lax.axis_index(gauss_axis)
+            goff = jax.lax.dynamic_slice_in_dim(
+                goff, i * (n // gauss_n), n // gauss_n, axis=0
+            )
+        grad2d = jnp.linalg.norm(goff * ndc[None, :], axis=1)
+        updates, opt_shard = optimizer.update(grads, opt_shard, scene_shard)
+        scene_shard = optax.apply_updates(scene_shard, updates)
+        return scene_shard, opt_shard, loss, grad2d
+
+    return jax.jit(step)
 
 
 def make_sharded_train_step(
@@ -179,6 +340,14 @@ def make_sharded_train_step(
         # DP gradient sync over the camera axis (the DDP equivalent).
         grads = jax.lax.pmean(grads, cam_axis)
         loss = jax.lax.pmean(loss, cam_axis)
+        gauss_n = mesh.shape[gauss_axis]
+        if gauss_n > 1:
+            # The psum_scatter transpose of gather_scene's all_gather
+            # sums gauss_n identical cotangents (the loss is replicated
+            # over the gauss axis) — normalize back.
+            grads = jax.tree_util.tree_map(
+                lambda g: g / gauss_n if g is not None else None, grads
+            )
         new_shard = jax.tree_util.tree_map(
             lambda p, g: p - lr * g if g is not None else p,
             scene_shard,
