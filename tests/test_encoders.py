@@ -42,12 +42,16 @@ def test_vit_pos_embed_interpolation():
 def test_lseg_head_shapes():
     from tpugs.encoders.lseg import LSegHead
 
-    head = LSegHead(features=16, out_dim=24)
-    levels = [jnp.zeros((1, 8, 8, 32)) for _ in range(4)]
-    params = head.init(jax.random.PRNGKey(0), levels)
-    out = head.apply(params, levels)
-    # fused pyramid ends at 2x the finest reassembled level
-    assert out.shape[0] == 1 and out.shape[-1] == 24
+    head = LSegHead(
+        features=16, out_dim=24, vit_width=32,
+        layer_channels=(8, 16, 32, 32),
+    )
+    levels = [jnp.zeros((1, 64, 32)) for _ in range(4)]  # 8x8 tokens
+    cls = [jnp.zeros((1, 32)) for _ in range(4)]
+    params = head.init(jax.random.PRNGKey(0), levels, cls, (8, 8))
+    out = head.apply(params, levels, cls, (8, 8))
+    # DPT pyramid: finest level x4 = 32, final fusion x2 = 64
+    assert out.shape == (1, 64, 64, 24)
 
 
 def test_clip_tokenizer_synthetic_vocab(tmp_path):

@@ -165,10 +165,13 @@ def tokenize(
 class CLIPTextTower(nn.Module):
     """CLIP's causal text transformer -> (P, embed_dim) embeddings."""
 
+    # Defaults are CLIP ViT-B/32's text tower — the one inside
+    # lseg_minimal_e200.ckpt (LSeg's ``clip_pretrained`` is ViT-B/32;
+    # its 512-d text space is why LSeg features are 512-d).
     vocab_size: int = 49408
     context_length: int = 77
-    width: int = 768
-    heads: int = 12
+    width: int = 512
+    heads: int = 8
     layers: int = 12
     embed_dim: int = 512
 

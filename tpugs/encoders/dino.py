@@ -1,7 +1,8 @@
 """DINOv2 ViT-L/14-reg patch-feature encoder.
 
-Reference usage (``backproject.py:175-249``): resize render to 896x896,
-``forward_features(...)["x_norm_patchtokens"]`` -> (64, 64, 1024),
+Reference usage (``backproject.py:175-249``): resize render to 896x896
+(RAW [0,1] — the reference applies no ImageNet normalization before
+``forward_features``), ``["x_norm_patchtokens"]`` -> (64, 64, 1024),
 nearest-upsample back to image size."""
 
 from __future__ import annotations
@@ -13,9 +14,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from tpugs.encoders.vit import DINOV2_VIT_L14_REG, VisionTransformer
-
-IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
-IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
 
 class DinoEncoder:
@@ -44,8 +42,8 @@ class DinoEncoder:
     def __call__(self, image: jax.Array) -> jax.Array:
         H, W, _ = image.shape
         s = self.image_size
-        x = (image - IMAGENET_MEAN) / IMAGENET_STD
-        x = jax.image.resize(x, (s, s, 3), "bilinear")[None]
+        # raw input, matching the reference call (backproject.py:236-242)
+        x = jax.image.resize(image, (s, s, 3), "bilinear")[None]
         out = self._apply(self.params, x)
         gh, gw = s // 14, s // 14
         tokens = out["final"][:, out["n_prefix"]:, :]

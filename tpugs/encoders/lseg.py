@@ -1,34 +1,60 @@
 """LSeg pixel-feature encoder (CLIP-aligned 512-d per-pixel features).
 
 Reference usage: ``LSegNet(backbone="clip_vitl16_384", features=256,
-crop_size=480, ...)`` loaded from ``lseg_minimal_e200.ckpt``
-(``backproject.py:28-41``); inference = resize render to 480x480,
-forward, L2-normalize per pixel, resize back (``backproject.py:102-113``).
+crop_size=480, arch_option=0, block_depth=0, activation="lrelu")``
+loaded from ``lseg_minimal_e200.ckpt`` (``backproject.py:28-41``);
+inference = resize render to 480x480, forward, L2-normalize per pixel,
+resize back (``backproject.py:102-113``). The reference feeds RAW [0,1]
+renders with no external normalization (also the f3dgs teacher path,
+``simple_trainer_feature_3dgs.py:595-601``), so no input normalization
+is applied here either.
 
-Architecture here: CLIP ViT-L/16 backbone with hypercolumns from 4
-intermediate blocks, a DPT-style reassemble+fusion head at
-``features=256`` channels, and a final projection into the 512-d CLIP
-text space. Weights convert from the torch checkpoint with
+Architecture (lang-seg, which lseg-minimal vendors):
+  * image backbone = timm-style ViT-L/16-384 (``pretrained.model.*`` in
+    the checkpoint: biased patch embed, cls token, 577-token pos_embed
+    interpolated to the 480 grid, 24 pre-norm GELU blocks) — NOT CLIP's
+    visual tower; LSeg only borrows CLIP (ViT-B/32) for its TEXT tower,
+    which is why the output space is 512-d;
+  * DPT readout: hook blocks (5, 11, 17, 23), "project" readout (concat
+    cls to every patch token -> Linear(2C->C) + GELU), 1x1 convs to
+    (256, 512, 1024, 1024) channels, spatial resample (x4, x2, x1, /2)
+    — ``pretrained.act_postprocess{1..4}`` in the checkpoint;
+  * DPT fusion: ``scratch.layer{1..4}_rn`` 3x3 (no bias) to 256ch,
+    ``scratch.refinenet{4..1}`` residual fusion coarse-to-fine,
+    ``scratch.head1`` 1x1 conv to the 512-d CLIP space.
+
+Output is at input/2 resolution (DPT path1 is stride 2); callers
+resize — matching the reference, which bilinearly resizes features to
+the render size afterwards anyway.
+
+Weights convert from the torch checkpoint with
 ``tpugs/encoders/convert.py`` (no network access in this environment —
-checkpoint files must be supplied, exactly as the reference requires)."""
+checkpoint files must be supplied, exactly as the reference requires).
+"""
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tpugs.encoders.vit import CLIP_VIT_L16, VisionTransformer
+from tpugs.encoders.vit import ViTConfig, VisionTransformer
 
 HOOK_LAYERS = (5, 11, 17, 23)  # lseg clip_vitl16_384 hooks
-IMAGENET_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
-IMAGENET_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
+
+# timm vit_large_patch16_384: biased patch embed, post-norm GELU blocks
+TIMM_VIT_L16_384 = ViTConfig(
+    image_size=480, patch_size=16, width=1024, layers=24, heads=16,
+    pre_norm=False, layer_norm_eps=1e-6,
+)
 
 
 class ResidualConvUnit(nn.Module):
+    """DPT ResidualConvUnit_custom (bn=False): x + conv(relu(conv(relu(x))))."""
+
     features: int
 
     @nn.compact
@@ -41,6 +67,9 @@ class ResidualConvUnit(nn.Module):
 
 
 class FeatureFusion(nn.Module):
+    """DPT FeatureFusionBlock_custom: skip-add via RCU1, RCU2, 2x
+    bilinear upsample, 1x1 out_conv."""
+
     features: int
 
     @nn.compact
@@ -54,48 +83,84 @@ class FeatureFusion(nn.Module):
 
 
 class LSegHead(nn.Module):
-    """DPT-style head: reassemble 4 hypercolumn levels, fuse coarse to
-    fine, project to the CLIP embedding dim."""
+    """DPT readout + reassemble + fusion head.
+
+    Checkpoint key map (see ``convert.load_lseg_params``):
+    read{i} <- act_postprocess{i+1}.0.project.0 (Linear 2C->C),
+    proj{i} <- act_postprocess{i+1}.3 (1x1 conv to layer_channels[i]),
+    up0/up1 <- act_postprocess{1,2}.4 (ConvTranspose x4/x2),
+    down3   <- act_postprocess4.4 (3x3 stride-2 conv),
+    rn{i}   <- scratch.layer{i+1}_rn, fuse{3-i} <- scratch.refinenet{4-i},
+    head1   <- scratch.head1."""
 
     features: int = 256
     out_dim: int = 512
+    vit_width: int = 1024
+    layer_channels: Tuple[int, ...] = (256, 512, 1024, 1024)
 
     @nn.compact
-    def __call__(self, levels: Sequence[jax.Array]):
-        # levels: 4 x (B, gh, gw, width) from shallow to deep
+    def __call__(self, levels: Sequence[jax.Array], cls_tokens, grid):
+        # levels: 4 x (B, gh*gw, C) patch tokens; cls_tokens: 4 x (B, C)
+        gh, gw = grid
         reassembled = []
-        scales = [4, 2, 1, 0.5]  # DPT reassemble scale factors
-        for i, (lv, s) in enumerate(zip(levels, scales)):
-            h = nn.Conv(self.features, (3, 3), padding=1, name=f"proj{i}")(lv)
-            B, gh, gw, C = h.shape
-            nh, nw = int(gh * s), int(gw * s)
-            h = jax.image.resize(h, (B, nh, nw, C), "bilinear")
+        for i, (tokens, cls) in enumerate(zip(levels, cls_tokens)):
+            B, N, C = tokens.shape
+            # "project" readout: concat cls onto every token
+            h = jnp.concatenate(
+                [tokens, jnp.broadcast_to(cls[:, None, :], tokens.shape)],
+                axis=-1,
+            )
+            h = nn.Dense(self.vit_width, name=f"read{i}")(h)
+            h = nn.gelu(h, approximate=False)
+            h = h.reshape(B, gh, gw, self.vit_width)
+            h = nn.Conv(
+                self.layer_channels[i], (1, 1), name=f"proj{i}"
+            )(h)
+            if i == 0:
+                h = nn.ConvTranspose(
+                    self.layer_channels[i], (4, 4), strides=(4, 4),
+                    padding="VALID", transpose_kernel=True, name="up0",
+                )(h)
+            elif i == 1:
+                h = nn.ConvTranspose(
+                    self.layer_channels[i], (2, 2), strides=(2, 2),
+                    padding="VALID", transpose_kernel=True, name="up1",
+                )(h)
+            elif i == 3:
+                h = nn.Conv(
+                    self.layer_channels[i], (3, 3), strides=(2, 2),
+                    padding=1, name="down3",
+                )(h)
+            h = nn.Conv(
+                self.features, (3, 3), padding=1, use_bias=False,
+                name=f"rn{i}",
+            )(h)
             reassembled.append(h)
         x = FeatureFusion(self.features, name="fuse3")(reassembled[3])
         x = FeatureFusion(self.features, name="fuse2")(x, reassembled[2])
         x = FeatureFusion(self.features, name="fuse1")(x, reassembled[1])
         x = FeatureFusion(self.features, name="fuse0")(x, reassembled[0])
-        x = nn.Conv(self.features, (3, 3), padding=1, name="head_conv")(x)
-        x = nn.relu(x)
-        return nn.Conv(self.out_dim, (1, 1), name="head_proj")(x)
+        return nn.Conv(self.out_dim, (1, 1), name="head1")(x)
 
 
 class LSegNet(nn.Module):
     features: int = 256
     out_dim: int = 512
+    vit_cfg: ViTConfig = TIMM_VIT_L16_384
+    hooks: Tuple[int, ...] = HOOK_LAYERS
+    layer_channels: Tuple[int, ...] = (256, 512, 1024, 1024)
 
     @nn.compact
-    def __call__(self, images):  # (B, H, W, 3) in [0,1]
-        x = (images - IMAGENET_MEAN) / IMAGENET_STD
-        vit = VisionTransformer(CLIP_VIT_L16, act="quick_gelu", name="vit")
-        out = vit(x, out_layers=list(HOOK_LAYERS))
-        gh, gw = out["grid"]
+    def __call__(self, images):  # (B, H, W, 3) in [0,1], raw (see module doc)
+        vit = VisionTransformer(self.vit_cfg, act="gelu", name="vit")
+        out = vit(images, out_layers=list(self.hooks))
         np_ = out["n_prefix"]
-        levels = [
-            out[f"layer{i}"][:, np_:, :].reshape(x.shape[0], gh, gw, -1)
-            for i in HOOK_LAYERS
-        ]
-        feats = LSegHead(self.features, self.out_dim, name="head")(levels)
+        levels = [out[f"layer{i}"][:, np_:, :] for i in self.hooks]
+        cls_tokens = [out[f"layer{i}"][:, 0, :] for i in self.hooks]
+        feats = LSegHead(
+            self.features, self.out_dim, self.vit_cfg.width,
+            self.layer_channels, name="head",
+        )(levels, cls_tokens, out["grid"])
         # head output is at half input resolution; callers resize.
         return feats
 

@@ -32,6 +32,8 @@ class ViTConfig:
     pre_norm: bool = False  # CLIP applies LN before the transformer
     layer_norm_eps: float = 1e-5
     swiglu: bool = False  # DINOv2 giant uses SwiGLU; L uses plain MLP
+    layer_scale: bool = False  # DINOv2 blocks scale residuals by ls1/ls2
+    pos_interp: str = "bilinear"  # DINOv2 resizes pos embeds bicubic
 
     @property
     def grid(self) -> int:
@@ -44,7 +46,8 @@ CLIP_VIT_L16 = ViTConfig(
 )
 DINOV2_VIT_L14_REG = ViTConfig(
     image_size=896, patch_size=14, width=1024, layers=24, heads=16,
-    num_register_tokens=4, layer_norm_eps=1e-6,
+    num_register_tokens=4, layer_norm_eps=1e-6, layer_scale=True,
+    pos_interp="cubic",
 )
 
 
@@ -94,13 +97,24 @@ class Block(nn.Module):
     @nn.compact
     def __call__(self, x):
         eps = self.cfg.layer_norm_eps
-        x = x + Attention(self.cfg.width, self.cfg.heads, name="attn")(
+        a = Attention(self.cfg.width, self.cfg.heads, name="attn")(
             nn.LayerNorm(epsilon=eps, name="norm1")(x)
         )
-        x = x + Mlp(self.cfg.width, self.cfg.mlp_ratio, self.act, name="mlp")(
+        if self.cfg.layer_scale:
+            # DINOv2 LayerScale: learned per-channel residual gains
+            # (torch keys blocks.{i}.ls{1,2}.gamma)
+            a = a * self.param(
+                "ls1", nn.initializers.constant(1e-5), (self.cfg.width,)
+            )
+        x = x + a
+        m = Mlp(self.cfg.width, self.cfg.mlp_ratio, self.act, name="mlp")(
             nn.LayerNorm(epsilon=eps, name="norm2")(x)
         )
-        return x
+        if self.cfg.layer_scale:
+            m = m * self.param(
+                "ls2", nn.initializers.constant(1e-5), (self.cfg.width,)
+            )
+        return x + m
 
 
 class VisionTransformer(nn.Module):
@@ -150,7 +164,7 @@ class VisionTransformer(nn.Module):
         if gh * gw != patch_pos.shape[1]:
             g0 = int(round(patch_pos.shape[1] ** 0.5))
             pp = patch_pos.reshape(1, g0, g0, cfg.width)
-            pp = jax.image.resize(pp, (1, gh, gw, cfg.width), "bilinear")
+            pp = jax.image.resize(pp, (1, gh, gw, cfg.width), cfg.pos_interp)
             patch_pos = pp.reshape(1, gh * gw, cfg.width)
         x = x + patch_pos
         if cfg.use_class_token:
