@@ -148,11 +148,23 @@ def test_pallas_sizes_path_with_cover_caps():
         interpret=True, trans_eps=0.0, tile_size=16,
         contrib_dtype=jnp2.float32,
     )
+    # Oracle: pure-JAX render -> same encoder -> dense adjoint. Asserts
+    # BOTH sides of the production path (feature sums were uncovered on
+    # this test in round 1).
+    from tpugs.raster.api import rasterize
+
+    rgb_ref, _, _ = rasterize(
+        scene.means, scene.quats, scene.scales, scene.opacities,
+        scene.colors_all, vm[None], K[None], W, H,
+        sh_degree=scene.sh_degree,
+    )
+    feats_ref = enc(rgb_ref[0])
     fs_ref, ws_ref = accumulate_view(
         scene, vm, K, W, H,
-        feat_image=None,
+        feat_image=feats_ref,
     )
     np.testing.assert_allclose(np.asarray(ws), np.asarray(ws_ref), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(fs), np.asarray(fs_ref), atol=1e-3)
 
 
 
@@ -210,3 +222,107 @@ def test_grouped_dispatch_matches_loop():
         num, den = num + fs, den + ws
     np.testing.assert_allclose(np.asarray(den_g), np.asarray(den), atol=1e-4)
     np.testing.assert_allclose(np.asarray(num_g), np.asarray(num), atol=1e-4)
+
+
+def test_size_class_truncation_detected_and_safe():
+    """Undersized static buckets (cap_hi too small, lo_cover tiny) make
+    the size-classed expansion truncate high-cover Gaussians. The kernel
+    path must stay safe (no crash, finite outputs), and the host-side
+    audit (check_pallas_sizes, ADVICE r1) must flag the dropped entries
+    instead of letting them vanish silently."""
+    from tpugs.lift.pallas_batch import (
+        backproject_one_view_pallas,
+        estimate_sizes_pallas,
+    )
+    from tpugs.raster.pallas_tiled import PallasSizes, check_pallas_sizes
+    from tpugs.encoders.base import LinearRGBEncoder
+
+    # big splats: most Gaussians cover many tiles
+    scene = random_scene(60, seed=3, extent=0.5, scale_range=(0.15, 0.3))
+    cams = orbit_cameras(1, W, H, radius=2.0)
+    vm, K = cams.viewmats[0], cams.Ks[0]
+    good = estimate_sizes_pallas(scene, cams, tile_size=16)
+    assert good.max_cover > 2, "test scene must produce multi-tile covers"
+    bad = PallasSizes(
+        max_cover=good.max_cover,
+        T_padded=good.T_padded,
+        cover_pad=good.cover_pad,
+        cover_caps=good.cover_caps,
+        cap_hi=4,  # only 4 Gaussians keep full cover slots
+        lo_cover=1,  # everyone else truncated to ONE tile
+    )
+    worst = check_pallas_sizes(
+        scene.means, scene.quats, scene.scales, scene.opacities,
+        cams.viewmats, cams.Ks, W, H, bad, tile_size=16,
+        raise_on_overflow=False,
+    )
+    assert worst["overflow"] and worst["dropped"] > 0
+    with pytest.raises(ValueError, match="overflow"):
+        check_pallas_sizes(
+            scene.means, scene.quats, scene.scales, scene.opacities,
+            cams.viewmats, cams.Ks, W, H, bad, tile_size=16,
+        )
+    # the kernels themselves must not crash on the truncated plan
+    enc = LinearRGBEncoder(feature_dim=4)
+    fs, ws = backproject_one_view_pallas(
+        scene, vm, K, W, H, enc, bad, d_chunk=8,
+        interpret=True, tile_size=16, contrib_dtype=jnp.float32,
+    )
+    assert np.isfinite(np.asarray(fs)).all()
+    assert np.isfinite(np.asarray(ws)).all()
+    # good sizes pass the audit
+    ok = check_pallas_sizes(
+        scene.means, scene.quats, scene.scales, scene.opacities,
+        cams.viewmats, cams.Ks, W, H, good, tile_size=16,
+    )
+    assert not ok["overflow"]
+
+
+def test_t_padded_clamp_no_crash():
+    """A view needing more intersection entries than the static T_padded
+    must be clamped by the kernel (pallas_tiled nb-clamp), not crash —
+    and the audit must report it."""
+    from tpugs.raster.pallas_tiled import (
+        PallasSizes,
+        build_plan_pure,
+        check_pallas_sizes,
+        pack_isect_all,
+        render_pallas_raw,
+        tiles_to_image,
+    )
+    from tpugs.raster.projection import project
+    from tpugs.raster.api import _prepare_colors
+
+    scene = random_scene(80, seed=4, extent=0.6, scale_range=(0.08, 0.2))
+    cams = orbit_cameras(1, W, H, radius=2.0)
+    vm, K = cams.viewmats[0], cams.Ks[0]
+    from tpugs.lift.pallas_batch import estimate_sizes_pallas
+
+    good = estimate_sizes_pallas(scene, cams, tile_size=16)
+    small = PallasSizes(
+        max_cover=good.max_cover,
+        T_padded=512,  # below the ~1.5k entries this view needs
+        cover_pad=good.cover_pad,
+        cover_caps=good.cover_caps,
+        cap_hi=good.cap_hi,
+        lo_cover=good.lo_cover,
+    )
+    worst = check_pallas_sizes(
+        scene.means, scene.quats, scene.scales, scene.opacities,
+        cams.viewmats, cams.Ks, W, H, small, tile_size=16,
+        raise_on_overflow=False,
+    )
+    assert worst["overflow"] and worst["t_padded"] > small.T_padded
+    plan = build_plan_pure(
+        scene.means, scene.quats, scene.scales, scene.opacities,
+        vm, K, W, H, small, tile_size=16,
+    )
+    proj = project(
+        scene.means, scene.quats, scene.scales, scene.opacities,
+        vm, K, W, H,
+    )
+    cols3 = _prepare_colors(scene.means, scene.colors_all, vm, scene.sh_degree)
+    packed = pack_isect_all(proj, cols3, plan)
+    tiles = render_pallas_raw(packed, plan, 4, interpret=True)
+    img = tiles_to_image(tiles, W, H, plan.tile_size)
+    assert np.isfinite(np.asarray(img)).all()

@@ -211,9 +211,14 @@ def _backproject_group(
     num = den = None
     for i in range(group_size):
         if den is not None:
-            # serialize view i on view i-1's outputs
-            tok = jax.lax.convert_element_type(den[0], jnp.float32) * 0
-            sci = scene.replace(means=scene.means + tok)
+            # Serialize view i on view i-1's outputs: the barrier ties
+            # this view's means (hence its whole pipeline) to the
+            # previous accumulators in the schedule, with no fake
+            # arithmetic for XLA to constant-fold away.
+            means, num, den = jax.lax.optimization_barrier(
+                (scene.means, num, den)
+            )
+            sci = scene.replace(means=means)
         else:
             sci = scene
         fs, ws = backproject_one_view_pallas(

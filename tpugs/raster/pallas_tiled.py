@@ -1080,9 +1080,11 @@ def reduce_contribs(
         if acc is not None:
             # Serialize group gathers on the running accumulator:
             # without this dependency XLA schedules them concurrently
-            # and their transient rows buffers are live simultaneously.
-            token = jax.lax.convert_element_type(acc[0, 0], jnp.int32) * 0
-            flat = flat + token
+            # and their transient rows buffers are live simultaneously
+            # (OOM at garden scale). optimization_barrier ties the next
+            # gather's indices to the previous group's accumulator in
+            # the schedule without any fake arithmetic for XLA to fold.
+            flat, acc = jax.lax.optimization_barrier((flat, acc))
         # Unused slots point at the dummy zero block the adjoint kernel
         # wrote at T_padded, so no masking is needed.
         block = contribs[flat]  # (k*cap, D) in contrib dtype (bf16)
