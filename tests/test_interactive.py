@@ -179,3 +179,24 @@ def test_scene_editor_dispatch():
     )
     assert editor.apply({"command": "change_view", "view": "top"})["view"] == "top"
     assert editor.apply({"command": "exit"})["status"] == "exit"
+
+
+def test_transformers_backend_plumbing():
+    """The full tokenize -> generate -> decode -> JSON/grammar path runs
+    through a real transformers model (tiny random GPT-2, offline)."""
+    from tpugs.apps.llm_backend import make_backend
+
+    llm = make_backend("tiny-random")
+    raw = llm("make the chair blue")
+    assert isinstance(raw, str)
+    # Random weights emit garbage; Assistant must still produce a valid
+    # command via the grammar fallback.
+    out = Assistant(llm=llm).ask("show me the top view")
+    assert out == {"command": "change_view", "view": "top"}
+    assert make_backend("") is None and make_backend("none") is None
+    try:
+        make_backend("bogus")
+    except ValueError:
+        pass
+    else:  # pragma: no cover
+        raise AssertionError("make_backend must reject unknown specs")

@@ -200,6 +200,7 @@ def main(
     format: str = "gsplat",
     data_factor: int = 4,
     feature: str = "lseg",
+    llm: str = "",  # "hf:<path>" | "tiny-random" | "" (grammar parser)
 ):  # pragma: no cover - interactive
     import os
 
@@ -212,7 +213,9 @@ def main(
     feats = np.load(os.path.join(results_dir, f"features_{feature}.npz"))[
         "features"
     ]
-    assistant = Assistant()
+    from tpugs.apps.llm_backend import make_backend
+
+    assistant = Assistant(llm=make_backend(llm))
     editor = SceneEditor(scene, jnp.asarray(feats))
     viewer = Viewer(
         scene, np.asarray(cams.Ks[0]), cams.width, cams.height,

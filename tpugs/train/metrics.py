@@ -48,6 +48,11 @@ def ssim(
             jnp.transpose(kernel, (3, 2, 0, 1)),  # (1, 1, kh, kw)
             window_strides=(1, 1),
             padding="VALID",
+            # f32 accumulation is load-bearing: TPU convs default to
+            # bf16 inputs, and sigma = filt(x*x) - mu^2 then loses all
+            # significance — denominators go ~0/negative and the SSIM
+            # map explodes (observed: loss=-5.7 on chip, 0.32 on CPU).
+            precision=jax.lax.Precision.HIGHEST,
         )
         return jnp.transpose(out[:, 0], (1, 2, 0))
 
