@@ -185,6 +185,135 @@ def test_train_step_reduces_loss(tmp_path):
     assert os.path.exists(ckpt)
 
 
+def _tiny_trainer(parser, train, cfg):
+    from tpugs.train.trainer import Trainer, init_scene_from_points
+
+    scene = init_scene_from_points(
+        parser.points.astype(np.float32),
+        parser.points_rgb.astype(np.float32),
+        cfg,
+        parser.scene_scale,
+    )
+    return Trainer(cfg, scene, parser.scene_scale, width=W, height=H,
+                   n_cameras=parser.num_images)
+
+
+def test_train_chunk_matches_per_step(tmp_path):
+    """One 4-step lax.scan chunk == four host-driven train_step calls
+    (same cameras, no random background)."""
+    from tpugs.encoders import get_encoder
+    from tpugs.train.dataset import Dataset, Parser
+
+    data_dir, _, cams = _make_disk_dataset(tmp_path, n_cams=4)
+    parser = Parser(data_dir, factor=1, test_every=8)
+    train = Dataset(parser, "train")
+    cfg = TrainConfig(
+        max_steps=8, sh_degree=1, feature_dim=8, feature_out_dim=4,
+        strategy="default", sh_degree_interval=100, random_bkgd=False,
+        refine_start_iter=1000,
+    )
+    teacher = get_encoder("linear:4")
+    t1 = _tiny_trainer(parser, train, cfg)
+    t2 = _tiny_trainer(parser, train, cfg)
+    t2.teacher = teacher
+    vms = np.stack(
+        [np.asarray(train[i]["viewmat"]) for i in range(len(train))]
+    )
+    Ks = np.stack([np.asarray(train[i]["K"]) for i in range(len(train))])
+    t1._estimate_sizes(vms, Ks)
+    t2._estimate_sizes(vms, Ks)
+
+    order = [0, 2, 1, 0]
+    for ci in order:
+        d = train[ci]
+        feats = teacher(jnp.asarray(d["image"]))
+        t1.train_step(d, teacher_feats=feats)
+
+    staged = t2.stage_dataset(train)
+    stats = t2.train_chunk(staged, 4, cam_idx=order)
+    assert stats["loss"].shape == (4,)
+    assert np.isfinite(stats["loss"]).all()
+    assert t2.step == 4
+
+    for name in ("means", "log_scales", "logit_opacities", "sh0",
+                 "features", "feature_proj"):
+        a = np.asarray(getattr(t1.scene, name))
+        b = np.asarray(getattr(t2.scene, name))
+        np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-5, err_msg=name)
+    # densification stats accumulated identically on device
+    np.testing.assert_allclose(
+        t1.grad_state.count, t2.grad_state.count, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        t1.grad_state.grad2d_sum, t2.grad_state.grad2d_sum,
+        rtol=2e-3, atol=1e-6,
+    )
+
+
+def test_train_chunk_rejects_sh_boundary_cross(tmp_path):
+    from tpugs.train.dataset import Dataset, Parser
+
+    data_dir, _, _ = _make_disk_dataset(tmp_path, n_cams=4)
+    parser = Parser(data_dir, factor=1, test_every=8)
+    train = Dataset(parser, "train")
+    cfg = TrainConfig(
+        max_steps=8, sh_degree=2, feature_dim=0, strategy="none",
+        sh_degree_interval=2, random_bkgd=False,
+    )
+    t = _tiny_trainer(parser, train, cfg)
+    staged = t.stage_dataset(train)
+    with pytest.raises(ValueError, match="sh_degree_interval"):
+        t.train_chunk(staged, 4)
+
+
+def test_capacity_padding_refine(tmp_path):
+    """With capacity_multiple set, refine pads N to the bucket and the
+    padded Gaussians are invisible: a render of the padded scene matches
+    the unpadded one exactly."""
+    from tpugs.raster.api import plan_render, rasterize_with_plan
+    from tpugs.raster.projection import ProjectionConfig
+    from tpugs.raster.tiled import TileConfig
+    from tpugs.train.dataset import Dataset, Parser
+    from tpugs.train.trainer import Trainer, init_scene_from_points
+
+    data_dir, _, cams = _make_disk_dataset(tmp_path, n_cams=4)
+    parser = Parser(data_dir, factor=1, test_every=8)
+    train = Dataset(parser, "train")
+    cfg = TrainConfig(
+        max_steps=8, sh_degree=1, feature_dim=0, strategy="default",
+        random_bkgd=False, capacity_multiple=64, grow_grad2d=1e9,
+    )
+    t = _tiny_trainer(parser, train, cfg)
+    n0 = t.scene.num_gaussians
+    t.grad_state.count[:] = 1.0
+    t.refine()
+    n1 = t.scene.num_gaussians
+    assert n1 % 64 == 0 and n1 >= t.grad_state.count.shape[0] - 64
+    assert len(t.grad_state.count) == n1
+
+    def render(scene):
+        vm = jnp.asarray(train[0]["viewmat"])
+        K = jnp.asarray(train[0]["K"])
+        plan = plan_render(
+            scene.means, scene.quats, scene.scales, scene.opacities,
+            vm, K, W, H, ProjectionConfig(), TileConfig(),
+        )
+        img, _ = rasterize_with_plan(
+            scene.means, scene.quats, scene.scales, scene.opacities,
+            scene.colors_all, vm, K, plan, sh_degree=1,
+        )
+        return np.asarray(img)
+
+    padded = render(t.scene)
+    alive = np.asarray(t.scene.opacities) > 1e-6
+    unpadded = render(t.scene.select(alive))
+    np.testing.assert_allclose(padded, unpadded, atol=1e-6)
+    # a chunk runs fine on the padded scene
+    staged = t.stage_dataset(train)
+    stats = t.train_chunk(staged, 2)
+    assert np.isfinite(stats["loss"]).all()
+
+
 def test_default_strategy_refines():
     from tpugs.train.strategy import DefaultStrategy, GradState
 

@@ -38,6 +38,8 @@ def main(
     compression: str = "",
     lpips_weights: str = "",
     resume: str = "",
+    chunked: bool = False,
+    capacity_multiple: int = 0,
 ):
     import jax.numpy as jnp
 
@@ -68,6 +70,7 @@ def main(
         pose_noise=pose_noise,
         app_opt=app_opt,
         compression=compression,
+        capacity_multiple=capacity_multiple,
     ).adjust_steps()
 
     os.makedirs(result_dir, exist_ok=True)
@@ -102,22 +105,7 @@ def main(
         trainer.load_checkpoint_full(resume)
         print(f"resumed from {resume} at step {trainer.step}", flush=True)
 
-    rng = np.random.default_rng(seed)
-    t0 = time.time()
-    for step in range(trainer.step, cfg.max_steps):
-        data = trainset[int(rng.integers(0, len(trainset)))]
-        feats = (
-            encoder(jnp.asarray(data["image"])) if encoder is not None else None
-        )
-        stats = trainer.train_step(data, teacher_feats=feats)
-        if step % 100 == 0:
-            rate = (step + 1) / (time.time() - t0)
-            print(
-                f"step {step} loss {stats['loss']:.4f} l1 {stats['l1']:.4f} "
-                f"feat {stats['feature_l1']:.4f} "
-                f"N {trainer.scene.num_gaussians} {rate:.2f} it/s",
-                flush=True,
-            )
+    def maybe_eval_save(step):
         if eval_every and step > 0 and step % eval_every == 0:
             metrics = trainer.evaluate(valset)
             print(f"eval @ {step}: {metrics}", flush=True)
@@ -131,6 +119,75 @@ def main(
             trainer.save_checkpoint_full(
                 os.path.join(result_dir, f"ckpts/full_{step}.npz")
             )
+
+    t0 = time.time()
+    if chunked:
+        # One device dispatch per chunk (lax.scan over steps, dataset
+        # staged in HBM) — the TPU-native loop for high-latency
+        # transports. Host-side events (refine, opacity reset, eval,
+        # save, prints) land on chunk boundaries: chunk = gcd of every
+        # event cadence.
+        import math
+        from functools import reduce
+
+        staged = trainer.stage_dataset(trainset)
+        cadences = [cfg.sh_degree_interval, 100]
+        if cfg.strategy != "none":
+            cadences += [cfg.refine_every]
+            if cfg.reset_every > 0:
+                cadences.append(cfg.reset_every)
+        if eval_every:
+            cadences.append(eval_every)
+        if save_every:
+            cadences.append(save_every)
+        chunk = reduce(math.gcd, cadences)
+        start = trainer.step
+        while trainer.step < cfg.max_steps:
+            n = min(chunk, cfg.max_steps - trainer.step)
+            stats = trainer.train_chunk(staged, n)
+            step = trainer.step
+            rate = (step - start) / (time.time() - t0)
+            print(
+                f"step {step} loss {stats['loss'][-1]:.4f} "
+                f"l1 {stats['l1'][-1]:.4f} "
+                f"feat {stats['feature_l1'][-1]:.4f} "
+                f"N {trainer.scene.num_gaussians} {rate:.2f} it/s",
+                flush=True,
+            )
+            if trainer.strategy is not None:
+                if (
+                    cfg.refine_start_iter <= step < cfg.refine_stop_iter
+                    and step % cfg.refine_every == 0
+                ):
+                    info = trainer.refine()
+                    print(f"refine @ {step}: {info}", flush=True)
+                if cfg.reset_every > 0 and step % cfg.reset_every == 0:
+                    trainer.scene = trainer.strategy.reset_opacities(
+                        trainer.scene
+                    )
+                    trainer._reset_opt_group("opacities")
+            if step < cfg.max_steps:
+                maybe_eval_save(step)
+    else:
+        rng = np.random.default_rng(seed)
+        for step in range(trainer.step, cfg.max_steps):
+            data = trainset[int(rng.integers(0, len(trainset)))]
+            feats = (
+                encoder(jnp.asarray(data["image"]))
+                if encoder is not None
+                else None
+            )
+            stats = trainer.train_step(data, teacher_feats=feats)
+            if step % 100 == 0:
+                rate = (step + 1) / (time.time() - t0)
+                print(
+                    f"step {step} loss {stats['loss']:.4f} "
+                    f"l1 {stats['l1']:.4f} "
+                    f"feat {stats['feature_l1']:.4f} "
+                    f"N {trainer.scene.num_gaussians} {rate:.2f} it/s",
+                    flush=True,
+                )
+            maybe_eval_save(step)
 
     metrics = trainer.evaluate(valset)
     print("final eval:", metrics)

@@ -89,6 +89,12 @@ class TrainConfig:
     prune_scale3d: float = 0.1
     reset_every: int = 3000
 
+    # static-shape capacity: pad N up to a multiple after each refine so
+    # XLA recompiles only when the bucket grows, not on every refine
+    # (padded Gaussians are fully transparent; default strategy only —
+    # MCMC keeps N constant by construction). 0 = exact N.
+    capacity_multiple: int = 0
+
     # rendering
     near_plane: float = 0.01
     far_plane: float = 1e10

@@ -551,6 +551,173 @@ class Trainer:
             self.log_scalars(out)
         return out
 
+    # ------------------------------------------------ chunked (scan) steps
+    def stage_dataset(self, dataset) -> dict:
+        """Stack a whole split into device-resident arrays so a multi-step
+        ``lax.scan`` chunk can index cameras on device. This is the
+        TPU-native answer to the reference's host DataLoader feeding one
+        image per step (``:517-541``): the dataset lives in HBM and the
+        per-step "load" is a gather, so a 100-step chunk costs ONE host
+        dispatch instead of 100 round-trips."""
+        imgs, vms, Ks, ids = [], [], [], []
+        pts, deps, masks = [], [], []
+        cap = 4096
+        for i in range(len(dataset)):
+            d = dataset[i]
+            imgs.append(np.asarray(d["image"], np.float32))
+            vms.append(np.asarray(d["viewmat"], np.float32))
+            Ks.append(np.asarray(d["K"], np.float32))
+            ids.append(int(d.get("image_id", i)))
+            if self.cfg.depth_loss and "points" in d:
+                p = np.zeros((cap, 2), np.float32)
+                z = np.ones((cap,), np.float32)
+                m = np.zeros((cap,), np.float32)
+                k = min(cap, len(d["points"]))
+                p[:k] = d["points"][:k]
+                z[:k] = d["depths"][:k]
+                m[:k] = 1.0
+                pts.append(p)
+                deps.append(z)
+                masks.append(m)
+        staged = {
+            "images": jnp.asarray(np.stack(imgs)),
+            "viewmats": jnp.asarray(np.stack(vms)),
+            "Ks": jnp.asarray(np.stack(Ks)),
+            "image_ids": jnp.asarray(np.array(ids, np.int32)),
+        }
+        if pts:
+            staged["points"] = jnp.asarray(np.stack(pts))
+            staged["point_depths"] = jnp.asarray(np.stack(deps))
+            staged["point_masks"] = jnp.asarray(np.stack(masks))
+        return staged
+
+    @functools.partial(
+        jax.jit, static_argnames=("self", "sh_degree", "sizes", "with_depth")
+    )
+    def _train_chunk_jit(
+        self, scene, opt_state, pose_params, pose_opt_state,
+        app_params, app_opt_state, grad2d_sum, vis_count,
+        images, viewmats, Ks, points, point_depths, point_masks,
+        image_ids, cam_idx, bkgds, sh_degree, sizes, with_depth,
+    ):
+        """N train steps in one compiled ``lax.scan``: per step, gather the
+        camera from the staged dataset, run the teacher on device, take the
+        grad step, and accumulate densification stats into the carry. One
+        dispatch per chunk instead of per step — essential on transports
+        with high per-dispatch latency."""
+
+        def body(carry, xs):
+            (sc, opt, pp, pos, ap, aos, g2d, vc) = carry
+            ci, bkgd = xs
+            viewmat = viewmats[ci]
+            K = Ks[ci]
+            image = images[ci]
+            cam_id = image_ids[ci]
+            teacher_feats = (
+                self.teacher(image)
+                if (self.teacher is not None and sc.features is not None)
+                else None
+            )
+            pts = points[ci] if with_depth else None
+            pdep = point_depths[ci] if with_depth else None
+            pmask = point_masks[ci] if with_depth else None
+
+            def lf(s, off, aux_params):
+                return self._loss_fn(
+                    s, off, aux_params, viewmat, K, image, teacher_feats,
+                    pts, pdep, pmask, cam_id, bkgd, sh_degree, sizes,
+                )
+
+            offset0 = jnp.zeros((sc.num_gaussians, 2), jnp.float32)
+            aux_params = {"pose": pp, "app": ap}
+            (loss, aux), (grads, goff, gaux) = jax.value_and_grad(
+                lf, argnums=(0, 1, 2), has_aux=True
+            )(sc, offset0, aux_params)
+            ndc_scale = jnp.array(
+                [self.width / 2.0, self.height / 2.0], jnp.float32
+            )
+            grad2d = jnp.linalg.norm(goff * ndc_scale, axis=1)
+            updates, opt = self.optimizer.update(grads, opt, sc)
+            sc = optax.apply_updates(sc, updates)
+            if pp is not None:
+                pu, pos = self.pose_optimizer.update(gaux["pose"], pos, pp)
+                pp = optax.apply_updates(pp, pu)
+            if ap is not None:
+                au, aos = self.app_optimizer.update(gaux["app"], aos, ap)
+                ap = optax.apply_updates(ap, au)
+            g2d = g2d + grad2d
+            vc = vc + aux["visible"].astype(jnp.float32)
+            ys = {
+                "loss": loss,
+                "l1": aux["l1"],
+                "ssim_loss": aux["ssim_loss"],
+                "feature_l1": aux["feature_l1"],
+                "depth_l": aux["depth_l"],
+            }
+            return (sc, opt, pp, pos, ap, aos, g2d, vc), ys
+
+        carry0 = (
+            scene, opt_state, pose_params, pose_opt_state,
+            app_params, app_opt_state, grad2d_sum, vis_count,
+        )
+        carry, ys = jax.lax.scan(body, carry0, (cam_idx, bkgds))
+        return carry, ys
+
+    def train_chunk(self, staged: dict, n_steps: int, cam_idx=None) -> dict:
+        """Run ``n_steps`` train steps as one device dispatch. The chunk
+        must not cross an SH-degree schedule boundary (the degree is a
+        static compile-time argument); refinement / opacity reset remain
+        host-side between chunks (see :func:`run_chunked`)."""
+        cfg = self.cfg
+        if self._sizes is None:
+            self._estimate_sizes(
+                np.asarray(staged["viewmats"]), np.asarray(staged["Ks"])
+            )
+        sh_degree = min(self.step // cfg.sh_degree_interval, cfg.sh_degree)
+        end_deg = min((self.step + n_steps - 1) // cfg.sh_degree_interval,
+                      cfg.sh_degree)
+        if end_deg != sh_degree:
+            raise ValueError(
+                f"chunk [{self.step}, {self.step + n_steps}) crosses an "
+                f"sh_degree_interval={cfg.sh_degree_interval} boundary"
+            )
+        n_cams = staged["images"].shape[0]
+        if cam_idx is None:
+            cam_idx = self._rng.integers(0, n_cams, n_steps)
+        cam_idx = jnp.asarray(np.asarray(cam_idx, np.int32))
+        bkgds = jnp.asarray(
+            self._rng.uniform(0, 1, (n_steps, 3)).astype(np.float32)
+            if cfg.random_bkgd
+            else np.zeros((n_steps, 3), np.float32)
+        )
+        with_depth = cfg.depth_loss and "points" in staged
+        zero = jnp.zeros((self.scene.num_gaussians,), jnp.float32)
+        (
+            (
+                self.scene, self.opt_state, self.pose_params,
+                self.pose_opt_state, self.app_params, self.app_opt_state,
+                g2d, vc,
+            ),
+            ys,
+        ) = self._train_chunk_jit(
+            self.scene, self.opt_state, self.pose_params,
+            self.pose_opt_state, self.app_params, self.app_opt_state,
+            zero, zero,
+            staged["images"], staged["viewmats"], staged["Ks"],
+            staged.get("points"), staged.get("point_depths"),
+            staged.get("point_masks"), staged["image_ids"],
+            cam_idx, bkgds, sh_degree, self._sizes, with_depth,
+        )
+        if self.strategy is not None:
+            self.grad_state.accumulate(np.asarray(g2d), np.asarray(vc))
+        self.step += n_steps
+        out = {k: np.asarray(v) for k, v in ys.items()}
+        if self._tb is not None:
+            self.log_scalars(
+                {k: float(v[-1]) for k, v in out.items()}, self.step
+            )
+        return out
+
     def _reset_opt_group(self, label: str):
         """Replace one multi_transform group's state with a fresh init."""
         fresh = self.optimizer.init(self.scene)
@@ -562,6 +729,13 @@ class Trainer:
         new_scene, new_state, info = self.strategy.refine(
             self.scene, self.grad_state
         )
+        info["alive"] = new_scene.num_gaussians
+        if self.cfg.capacity_multiple and self.cfg.strategy == "default":
+            cap = pad_count(
+                new_scene.num_gaussians, self.cfg.capacity_multiple
+            )
+            new_scene = new_scene.pad_to(cap)
+            new_state = GradState.zeros(cap)
         self.scene, self.grad_state = new_scene, new_state
         # re-init optimizer state for the new N (reference re-creates the
         # param groups on refine as gsplat strategies do)
