@@ -75,9 +75,14 @@ def write_synthetic_colmap(
     cams: Camera,
     n_points: int = 100,
     seed: int = 0,
+    points: "np.ndarray | None" = None,
+    point_rgbs: "np.ndarray | None" = None,
 ) -> None:
     """Write a COLMAP sparse/0 model matching a Camera batch — gives
-    tests a real on-disk dataset in the reference's expected layout."""
+    tests a real on-disk dataset in the reference's expected layout.
+    Pass ``points``/``point_rgbs`` (world xyz in [-1,1]-ish, rgb uint8)
+    to emit an SfM point cloud correlated with the scene (realistic
+    ``init_type=sfm`` training); otherwise random points are written."""
     import os
 
     from tpugs.io.colmap import (
@@ -111,18 +116,28 @@ def write_synthetic_colmap(
             np.zeros((0,), np.int64),
         )
     rng = np.random.default_rng(seed)
-    points = {
+    if points is None:
+        xyz = rng.uniform(-1, 1, (n_points, 3))
+        rgb = rng.integers(0, 255, (n_points, 3)).astype(np.uint8)
+    else:
+        xyz = np.asarray(points, np.float64)
+        rgb = (
+            np.asarray(point_rgbs, np.uint8)
+            if point_rgbs is not None
+            else rng.integers(0, 255, (len(xyz), 3)).astype(np.uint8)
+        )
+    pts3d = {
         int(j + 1): ColmapPoint3D(
             int(j + 1),
-            rng.uniform(-1, 1, 3),
-            rng.integers(0, 255, 3).astype(np.uint8),
+            xyz[j],
+            rgb[j],
             0.5,
             np.array([1], np.int64),
             np.array([0], np.int64),
         )
-        for j in range(n_points)
+        for j in range(len(xyz))
     }
-    write_sparse_model(os.path.join(data_dir, "sparse/0"), cameras, images, points)
+    write_sparse_model(os.path.join(data_dir, "sparse/0"), cameras, images, pts3d)
 
 
 def orbit_cameras(
