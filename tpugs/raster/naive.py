@@ -17,11 +17,14 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from tpugs.raster.projection import Projected, ProjectionConfig, project
+from tpugs.raster.projection import (
+    ALPHA_CLIP_MAX,
+    ALPHA_CLIP_MIN,
+    Projected,
+    ProjectionConfig,
+    project,
+)
 from tpugs.raster import sh
-
-ALPHA_CLIP_MIN = 1.0 / 255.0  # skip threshold (matches gsplat semantics)
-ALPHA_CLIP_MAX = 0.999
 
 
 def pixel_centers(width: int, height: int) -> jnp.ndarray:

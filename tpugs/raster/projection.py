@@ -20,6 +20,9 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+ALPHA_CLIP_MIN = 1.0 / 255.0  # skip threshold (matches gsplat semantics)
+ALPHA_CLIP_MAX = 0.999
+
 
 class Projected(NamedTuple):
     means2d: jax.Array  # (N, 2) pixel coordinates
@@ -178,6 +181,12 @@ def project(
         & (det > 0.0)
         & (radius > config.radius_clip)
         & inside
+        # Below the 1/255 alpha cutoff every pixel's alpha is zeroed by
+        # evaluate_alpha, so culling here is numerically free — and it
+        # keeps dead capacity-padding rows (opacity~0 at the origin)
+        # out of the tile lists, where they would inflate the per-tile
+        # span every frame (gsplat likewise skips alpha<1/255).
+        & (opac >= ALPHA_CLIP_MIN)
     )
     radius = jnp.where(valid, radius, 0.0)
     return Projected(

@@ -23,16 +23,37 @@ feature back-projection possible (see ``tpugs/lift/backproject.py``).
 Compositing order is exact (prefix product == serial recurrence); the
 matrix-multiply accumulation runs on the MXU, and the alpha math is
 dense VPU work. Tiles are processed in chunks (vectorized) with a scan
-over blocks; everything is static-shaped and reverse-mode
-differentiable with plain ``jax.grad``.
+over blocks; everything is static-shaped.
+
+Differentiation: plain reverse-mode through the double scan saves every
+block's interiors (alpha/prefix/weight tensors of shape
+chunks x blocks x TC x B x tspx) — at trainer scale with feature
+channels that is tens of GB and OOMs HBM. ``render_tiled`` therefore
+carries a recompute-based ``jax.custom_vjp``: the backward re-walks the
+blocks front-to-back (same cost as the forward), reconstructs the blend
+state, and applies the analytic compositing adjoint
+
+    dL/dc_b     = sum_p w_b(p) g(p)
+    dL/dalpha_b = Texc_b u_b - (V_b + h.T_fin) / (1 - alpha_b)
+
+where ``u_b = sum_d g_d c_bd``, ``V_b = sum_d g_d S_bd`` is the
+suffix-contribution term maintained as a running scalar field per pixel
+(never materializing the per-channel suffix), and alpha's own adjoint
+comes from ``jax.vjp`` of the same block alpha evaluation, so cutoff
+semantics match autodiff bit-for-bit. Peak backward memory drops from
+O(chunks x blocks x B x tspx x D) to O(TC x B x tspx) + the gradient
+accumulators. ``render_tiled_autodiff`` keeps the plain-autodiff
+composition as the oracle the custom VJP is tested against.
 """
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from tpugs.raster.binning import TileBinning, cdiv, tile_grid
 from tpugs.raster.naive import evaluate_alpha
@@ -57,7 +78,7 @@ def _tile_pixel_coords(
     return ox[:, None] + lx[None, :], oy[:, None] + ly[None, :]
 
 
-def render_tiled(
+def _render_tiles(
     means2d: jax.Array,  # (N, 2) depth-ordered
     conics: jax.Array,  # (N, 3) depth-ordered
     opacities: jax.Array,  # (N,) depth-ordered (already masked by validity)
@@ -68,9 +89,9 @@ def render_tiled(
     height: int,
     max_blocks: int,  # static: ceil(max per-tile span / block_size)
     config: TileConfig = TileConfig(),
-    background: Optional[jax.Array] = None,  # (D,)
 ) -> Tuple[jax.Array, jax.Array]:
-    """Returns (image (H, W, D), alpha (H, W))."""
+    """Tile-level forward: (imgs (n_tiles, ts*ts, D) pre-background,
+    trans (n_tiles, ts*ts) final transmittance)."""
     ts, B, TC = config.tile_size, config.block_size, config.tiles_per_chunk
     ntx, nty = tile_grid(width, height, ts)
     n_tiles = ntx * nty
@@ -148,20 +169,265 @@ def render_tiled(
     # imgs: (n_chunks, TC, tspx, D); transs: (n_chunks, TC, tspx)
     imgs = imgs.reshape(n_chunks * TC, tspx, D)[:n_tiles]
     transs = transs.reshape(n_chunks * TC, tspx)[:n_tiles]
+    return imgs, transs
 
+
+def _tiles_to_image(t, ntx, nty, ts, width, height):
+    """(n_tiles, ts*ts, C) -> (H, W, C)."""
+    c = t.shape[-1]
+    t = t.reshape(nty, ntx, ts, ts, c)
+    t = jnp.transpose(t, (0, 2, 1, 3, 4))
+    return t.reshape(nty * ts, ntx * ts, c)[:height, :width]
+
+
+def _image_to_tiles(img, ntx, nty, ts):
+    """(H, W, C) -> (n_tiles, ts*ts, C), zero-padded to full tiles —
+    the exact transpose of :func:`_tiles_to_image` (cotangent path)."""
+    H, W, c = img.shape
+    t = jnp.pad(img, ((0, nty * ts - H), (0, ntx * ts - W), (0, 0)))
+    t = t.reshape(nty, ts, ntx, ts, c)
+    t = jnp.transpose(t, (0, 2, 1, 3, 4))
+    return t.reshape(nty * ntx, ts * ts, c)
+
+
+def _finalize(imgs, transs, background, ntx, nty, ts, width, height):
     alpha_out = 1.0 - transs
     if background is not None:
         imgs = imgs + transs[..., None] * background[None, None, :]
-
-    def tiles_to_image(t):  # (n_tiles, tspx, C) -> (H, W, C)
-        c = t.shape[-1]
-        t = t.reshape(nty, ntx, ts, ts, c)
-        t = jnp.transpose(t, (0, 2, 1, 3, 4))
-        return t.reshape(nty * ts, ntx * ts, c)[:height, :width]
-
-    image = tiles_to_image(imgs)
-    alpha = tiles_to_image(alpha_out[..., None])[..., 0]
+    image = _tiles_to_image(imgs, ntx, nty, ts, width, height)
+    alpha = _tiles_to_image(alpha_out[..., None], ntx, nty, ts,
+                            width, height)[..., 0]
     return image, alpha
+
+
+def render_tiled_autodiff(
+    means2d, conics, opacities, colors, sorted_gid, tile_starts,
+    width, height, max_blocks, config: TileConfig = TileConfig(),
+    background: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Plain-autodiff composition (the gradient oracle; O(blocks)
+    backward memory — use only at test scale)."""
+    ts = config.tile_size
+    ntx, nty = tile_grid(width, height, ts)
+    imgs, transs = _render_tiles(
+        means2d, conics, opacities, colors, sorted_gid, tile_starts,
+        width, height, max_blocks, config,
+    )
+    return _finalize(imgs, transs, background, ntx, nty, ts, width, height)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+def _render_core(
+    means2d, conics, opacities, colors, sorted_gid, tile_starts,
+    background, width, height, max_blocks, config,
+):
+    ts = config.tile_size
+    ntx, nty = tile_grid(width, height, ts)
+    imgs, transs = _render_tiles(
+        means2d, conics, opacities, colors, sorted_gid, tile_starts,
+        width, height, max_blocks, config,
+    )
+    return _finalize(imgs, transs, background, ntx, nty, ts, width, height)
+
+
+def _render_core_fwd(
+    means2d, conics, opacities, colors, sorted_gid, tile_starts,
+    background, width, height, max_blocks, config,
+):
+    ts = config.tile_size
+    ntx, nty = tile_grid(width, height, ts)
+    imgs, transs = _render_tiles(
+        means2d, conics, opacities, colors, sorted_gid, tile_starts,
+        width, height, max_blocks, config,
+    )
+    out = _finalize(imgs, transs, background, ntx, nty, ts, width, height)
+    res = (means2d, conics, opacities, colors, sorted_gid, tile_starts,
+           background, imgs, transs)
+    return out, res
+
+
+def _render_core_bwd(width, height, max_blocks, config, res, cots):
+    (means2d, conics, opacities, colors, sorted_gid, tile_starts,
+     background, imgs, transs) = res
+    g_image, g_alpha = cots
+    ts, B, TC = config.tile_size, config.block_size, config.tiles_per_chunk
+    ntx, nty = tile_grid(width, height, ts)
+    n_tiles = ntx * nty
+    n_chunks = cdiv(n_tiles, TC)
+    tspx = ts * ts
+    D = colors.shape[-1]
+    T_flat = sorted_gid.shape[0]
+    n = means2d.shape[0]
+
+    # Cotangents to tile layout (transpose of the finalize reshapes).
+    g_t = _image_to_tiles(g_image, ntx, nty, ts)  # (n_tiles, tspx, D)
+    ga_t = _image_to_tiles(g_alpha[..., None], ntx, nty, ts)[..., 0]
+
+    # d trans per pixel: alpha = 1 - trans, plus the background's
+    # trans-weighted contribution when present.
+    h = -ga_t
+    d_bg = None
+    if background is not None:
+        h = h + jnp.einsum(
+            "tpd,d->tp", g_t, background,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        d_bg = jnp.einsum(
+            "tp,tpd->d", transs, g_t,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+    # Per-pixel constants of the alpha adjoint.
+    hterm = h * transs  # h . T_fin
+    grem0 = jnp.einsum(
+        "tpd,tpd->tp", g_t, imgs,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # sum_d g_d . img_nobg_d = total w.u over the tile
+
+    def pad_chunks(x, fill=0.0):
+        padn = n_chunks * TC - n_tiles
+        return jnp.pad(x, ((0, padn),) + ((0, 0),) * (x.ndim - 1),
+                       constant_values=fill)
+
+    g_tc = pad_chunks(g_t).reshape(n_chunks, TC, tspx, D)
+    hterm_c = pad_chunks(hterm).reshape(n_chunks, TC, tspx)
+    grem_c = pad_chunks(grem0).reshape(n_chunks, TC, tspx)
+
+    # Sentinel-row-extended inputs, as in the forward.
+    m2d_x = jnp.concatenate([means2d, jnp.zeros((1, 2), means2d.dtype)], 0)
+    con_x = jnp.concatenate([conics, jnp.ones((1, 3), conics.dtype)], 0)
+    opa_x = jnp.concatenate([opacities, jnp.zeros((1,), opacities.dtype)], 0)
+    col_x = jnp.concatenate([colors, jnp.zeros((1, D), colors.dtype)], 0)
+
+    starts = tile_starts[:-1]
+    ends = tile_starts[1:]
+
+    d_m2d0 = jnp.zeros((n + 1, 2), jnp.float32)
+    d_con0 = jnp.zeros((n + 1, 3), jnp.float32)
+    d_opa0 = jnp.zeros((n + 1,), jnp.float32)
+    d_col0 = jnp.zeros((n + 1, D), jnp.float32)
+
+    def chunk_body(grads, xs):
+        chunk_start, g_chunk, ht_chunk, grem_chunk = xs
+        tile_ids = chunk_start + jnp.arange(TC, dtype=jnp.int32)
+        tid_safe = jnp.minimum(tile_ids, n_tiles - 1)
+        live = tile_ids < n_tiles
+        t_start = jnp.where(live, starts[tid_safe], 0)
+        t_end = jnp.where(live, ends[tid_safe], 0)
+        px_x, px_y = _tile_pixel_coords(tid_safe, ntx, ts)
+
+        def block_body(carry, b):
+            trans, grem, grads = carry
+            d_m2d, d_con, d_opa, d_col = grads
+            idx = t_start[:, None] + b * B + jnp.arange(B, dtype=jnp.int32)
+            in_span = idx < t_end[:, None]
+            idx_safe = jnp.clip(idx, 0, T_flat - 1)
+            gid = jnp.where(in_span, sorted_gid[idx_safe], n)  # (TC, B)
+
+            mx = m2d_x[gid, 0]
+            my = m2d_x[gid, 1]
+            con = con_x[gid]
+            opa = opa_x[gid]
+            col = col_x[gid]  # (TC, B, D)
+
+            def alpha_of(mx_, my_, con_, opa_):
+                dx = px_x[:, None, :] - mx_[:, :, None]
+                dy = px_y[:, None, :] - my_[:, :, None]
+                a = evaluate_alpha(
+                    con_[:, :, None, :], opa_[:, :, None], dx, dy
+                )
+                return jnp.where(in_span[:, :, None], a, 0.0)
+
+            alpha, alpha_vjp = jax.vjp(alpha_of, mx, my, con, opa)
+            one_minus = 1.0 - alpha
+            cum = jnp.cumprod(one_minus, axis=1)
+            texc = jnp.concatenate(
+                [jnp.ones_like(cum[:, :1, :]), cum[:, :-1, :]], axis=1
+            )
+            w = alpha * texc * trans[:, None, :]  # (TC, B, tspx)
+
+            # u_b = sum_d g_d c_bd  (MXU)
+            u = jnp.einsum(
+                "tpd,tbd->tbp", g_chunk, col,
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )
+            wu = w * u
+            cs = jnp.cumsum(wu, axis=1)  # inclusive prefix over b
+            v = grem[:, None, :] - cs  # suffix strictly after b
+            d_alpha = (
+                trans[:, None, :] * texc * u
+                - (v + ht_chunk[:, None, :])
+                / jnp.maximum(one_minus, 1e-6)
+            )
+            d_mx, d_my, d_con_blk, d_opa_blk = alpha_vjp(d_alpha)
+
+            # dL/dc_bd = sum_p w_b(p) g_d(p)  (MXU)
+            d_col_blk = jnp.einsum(
+                "tbp,tpd->tbd", w, g_chunk,
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )
+
+            gid_f = gid.reshape(-1)
+            d_m2d = d_m2d.at[gid_f].add(
+                jnp.stack([d_mx.reshape(-1), d_my.reshape(-1)], axis=-1)
+            )
+            d_con = d_con.at[gid_f].add(d_con_blk.reshape(-1, 3))
+            d_opa = d_opa.at[gid_f].add(d_opa_blk.reshape(-1))
+            d_col = d_col.at[gid_f].add(d_col_blk.reshape(-1, D))
+
+            trans = trans * cum[:, -1, :]
+            grem = grem - cs[:, -1, :]
+            return (trans, grem, (d_m2d, d_con, d_opa, d_col)), None
+
+        trans0 = jnp.ones((TC, tspx), jnp.float32)
+        (_, _, grads), _ = jax.lax.scan(
+            block_body, (trans0, grem_chunk, grads),
+            jnp.arange(max_blocks, dtype=jnp.int32),
+        )
+        return grads, None
+
+    chunk_starts = jnp.arange(n_chunks, dtype=jnp.int32) * TC
+    grads, _ = jax.lax.scan(
+        chunk_body, (d_m2d0, d_con0, d_opa0, d_col0),
+        (chunk_starts, g_tc, hterm_c, grem_c),
+    )
+    d_m2d, d_con, d_opa, d_col = (g[:n] for g in grads)
+
+    def int_zero(x):
+        return np.zeros(x.shape, jax.dtypes.float0)
+
+    return (
+        d_m2d.astype(means2d.dtype), d_con.astype(conics.dtype),
+        d_opa.astype(opacities.dtype), d_col.astype(colors.dtype),
+        int_zero(sorted_gid), int_zero(tile_starts),
+        None if background is None else d_bg.astype(background.dtype),
+    )
+
+
+_render_core.defvjp(_render_core_fwd, _render_core_bwd)
+
+
+def render_tiled(
+    means2d: jax.Array,  # (N, 2) depth-ordered
+    conics: jax.Array,  # (N, 3) depth-ordered
+    opacities: jax.Array,  # (N,) depth-ordered (already masked by validity)
+    colors: jax.Array,  # (N, D) depth-ordered
+    sorted_gid: jax.Array,  # (T,) from TileBinning (indices into the above)
+    tile_starts: jax.Array,  # (n_tiles + 1,)
+    width: int,
+    height: int,
+    max_blocks: int,  # static: ceil(max per-tile span / block_size)
+    config: TileConfig = TileConfig(),
+    background: Optional[jax.Array] = None,  # (D,)
+) -> Tuple[jax.Array, jax.Array]:
+    """Returns (image (H, W, D), alpha (H, W)). Differentiable via the
+    recompute custom VJP (see module docstring)."""
+    return _render_core(
+        means2d, conics, opacities, colors, sorted_gid, tile_starts,
+        background, width, height, max_blocks, config,
+    )
 
 
 def required_blocks(binning: TileBinning, block_size: int) -> int:
