@@ -39,7 +39,10 @@ def main(
     lpips_weights: str = "",
     resume: str = "",
     chunked: bool = False,
+    chunk_steps: int = 50,
     capacity_multiple: int = 0,
+    viewer_port: int = -1,
+    viewer_every: int = 100,
 ):
     import jax.numpy as jnp
 
@@ -105,6 +108,35 @@ def main(
         trainer.load_checkpoint_full(resume)
         print(f"resumed from {resume} at step {trainer.step}", flush=True)
 
+    viewer = None
+    if viewer_port >= 0:
+        from tpugs.train.viewer import LiveViewer, orbit_viewmat
+
+        viewer = LiveViewer(port=viewer_port)
+        print(f"live viewer: http://localhost:{viewer.port}/", flush=True)
+        center = np.asarray(scene.means).mean(axis=0)
+        default_vm = np.asarray(sample["viewmat"], np.float32)
+        view_K = np.asarray(sample["K"], np.float32)
+
+    def viewer_update(step, stats):
+        """Render the browser-requested view and push frame + stats
+        (reference: viser update per step, ``:771-781``)."""
+        if viewer is None:
+            return
+        cam = viewer.render_request()
+        vm = (
+            orbit_viewmat(center, cam["yaw"], cam["pitch"], cam["radius"])
+            if cam
+            else default_vm
+        )
+        img, _ = trainer.render_eval(vm, view_K)
+        frame = np.asarray(
+            np.clip(np.asarray(img[..., :3]), 0, 1) * 255
+        ).astype(np.uint8)
+        viewer.update(
+            step, stats, frame, num_rays_per_step=width * height
+        )
+
     def maybe_eval_save(step):
         if eval_every and step > 0 and step % eval_every == 0:
             metrics = trainer.evaluate(valset)
@@ -141,6 +173,15 @@ def main(
         if save_every:
             cadences.append(save_every)
         chunk = reduce(math.gcd, cadences)
+        if chunk_steps > 0 and chunk > chunk_steps:
+            # Bound single-dispatch wall time (a very long device
+            # program can outlive the remote worker's patience): use
+            # the largest divisor of the event gcd that fits the cap,
+            # so chunk boundaries still land on every event step.
+            chunk = max(
+                d for d in range(1, chunk + 1)
+                if chunk % d == 0 and d <= chunk_steps
+            )
         start = trainer.step
         while trainer.step < cfg.max_steps:
             n = min(chunk, cfg.max_steps - trainer.step)
@@ -166,6 +207,9 @@ def main(
                         trainer.scene
                     )
                     trainer._reset_opt_group("opacities")
+            viewer_update(
+                step, {k: float(v[-1]) for k, v in stats.items()}
+            )
             if step < cfg.max_steps:
                 maybe_eval_save(step)
     else:
@@ -187,6 +231,8 @@ def main(
                     f"N {trainer.scene.num_gaussians} {rate:.2f} it/s",
                     flush=True,
                 )
+            if viewer is not None and step % viewer_every == 0:
+                viewer_update(step, stats)
             maybe_eval_save(step)
 
     metrics = trainer.evaluate(valset)
