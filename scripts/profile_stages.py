@@ -29,6 +29,14 @@ from tpugs.raster.projection import ProjectionConfig, project
 from tpugs.raster.adjoint import image_to_tiles
 from tpugs.utils.synthetic import orbit_cameras, random_scene
 from tpugs.utils.timing import measure
+from tpugs.utils.profiling import (
+    StageTimer,
+    adjoint_model,
+    device_memory_stats,
+    reduce_model,
+    render_model,
+    trace,
+)
 
 
 def main():
@@ -39,6 +47,8 @@ def main():
     ap.add_argument("--feature-dim", type=int, default=512)
     ap.add_argument("--tile", type=int, default=DEFAULT_TILE)
     ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--profile-dir", type=str, default="",
+                    help="capture a jax.profiler trace here")
     args = ap.parse_args()
 
     print(f"device: {jax.devices()[0].platform}", flush=True)
@@ -99,7 +109,10 @@ def main():
         )
         return img
 
-    measure(f_render, scene.means, iters=it, name="render(incl pack)", verbose=True)
+    t_render = measure(
+        f_render, scene.means, iters=it, name="render(incl pack)",
+        verbose=True,
+    )
 
     # encoder
     rgb = jax.jit(
@@ -137,11 +150,14 @@ def main():
         g = geom + (eps * jnp.uint32(0)).astype(jnp.float32)
         return adjoint_pallas_raw(g, ft, plan, out_dtype=jnp.bfloat16)
 
-    measure(f_adj, geom0, ftiles, iters=it, name="adjoint kernel", verbose=True)
+    t_adj = measure(
+        f_adj, geom0, ftiles, iters=it, name="adjoint kernel", verbose=True
+    )
 
     contribs = jax.jit(
         lambda g, ft: adjoint_pallas_raw(g, ft, plan, out_dtype=jnp.bfloat16)
     )(geom0, ftiles)
+    n_contrib_rows = int(contribs.shape[0])
 
     # free held garden-scale buffers before the reduce measurement
     del ftiles, featp, rgb, feats, geom0, proj0
@@ -151,7 +167,7 @@ def main():
         cc = c + (eps * jnp.uint32(0)).astype(jnp.bfloat16)
         return reduce_contribs(cc, plan)
 
-    measure(f_red, contribs, iters=it, name="reduce", verbose=True)
+    t_red = measure(f_red, contribs, iters=it, name="reduce", verbose=True)
     del contribs
 
     # full fused single view
@@ -162,7 +178,32 @@ def main():
             sc, vm, K, W, H, encoder, sizes, tile_size=args.tile
         )[1]
 
-    measure(f_full, scene.means, iters=it, name="FULL view", verbose=True)
+    with trace(args.profile_dir):
+        t_full = measure(
+            f_full, scene.means, iters=it, name="FULL view", verbose=True
+        )
+
+    # Roofline: analytic FLOPs/bytes per stage vs v5e peaks (SURVEY §5
+    # "per-kernel roofline counters").
+    n_isect = int(plan.padded_gid.shape[0])
+    n_pix = W * H
+    d = args.feature_dim
+    rt = StageTimer(dtype="bf16")
+    rt.add("render(incl pack)", t_render, **render_model(n_isect, n_pix, 3))
+    rt.add("adjoint kernel", t_adj, **adjoint_model(n_isect, d + 1))
+    rt.add("reduce", t_red, **reduce_model(n_contrib_rows, d + 1))
+    rt.add("FULL view", t_full,
+           flops=(render_model(n_isect, n_pix, 3)["flops"]
+                  + adjoint_model(n_isect, d + 1)["flops"]
+                  + reduce_model(n_contrib_rows, d + 1)["flops"]),
+           hbm_bytes=(render_model(n_isect, n_pix, 3)["hbm_bytes"]
+                      + adjoint_model(n_isect, d + 1)["hbm_bytes"]
+                      + reduce_model(n_contrib_rows, d + 1)["hbm_bytes"]))
+    print()
+    print(rt.report(), flush=True)
+    mem = device_memory_stats()
+    if mem:
+        print(f"device memory: {mem}", flush=True)
 
 
 if __name__ == "__main__":
