@@ -185,6 +185,9 @@ def read_cameras_bin(path: str) -> Dict[int, ColmapCamera]:
 
 
 def read_images_bin(path: str) -> Dict[int, ColmapImage]:
+    native = _read_images_bin_native(path)
+    if native is not None:
+        return native
     images = {}
     with open(path, "rb") as fh:
         (n,) = _read(fh, "<Q")
@@ -212,7 +215,93 @@ def read_images_bin(path: str) -> Dict[int, ColmapImage]:
     return images
 
 
+def _read_images_bin_native(path: str) -> Optional[Dict[int, ColmapImage]]:
+    """C++ fast path (tpugs/native); None if the library is absent."""
+    try:
+        from tpugs.native import scene_io as _nat
+        with open(path, "rb") as fh:
+            cols = _nat.parse_images(fh.read())
+    except Exception:
+        return None
+    if cols is None:
+        return None
+    images = {}
+    off = cols["obs_offsets"]
+    for i, iid in enumerate(cols["image_id"]):
+        lo, hi = int(off[i]), int(off[i + 1])
+        images[int(iid)] = ColmapImage(
+            int(iid),
+            cols["qvec"][i],
+            cols["tvec"][i],
+            int(cols["camera_id"][i]),
+            cols["names"][i],
+            cols["xys"][lo:hi],
+            cols["p3d_ids"][lo:hi],
+        )
+    return images
+
+
+def read_points3d_bin_columnar(path: str) -> Optional[Dict[str, np.ndarray]]:
+    """C++ columnar parse of points3D.bin (sorted by point id).
+
+    Returns {pid, xyz, rgb, err, track_offsets, track_image_ids,
+    track_p2d} or None when the native library is unavailable. At
+    SfM scale (millions of points) this skips both the per-record
+    Python loop and the per-point object construction.
+    """
+    try:
+        from tpugs.native import scene_io as _nat
+        with open(path, "rb") as fh:
+            cols = _nat.parse_points3d(fh.read())
+    except Exception:
+        return None
+    if cols is None:
+        return None
+    order = np.argsort(cols["pid"], kind="stable")
+    if not np.array_equal(order, np.arange(len(order))):
+        # Re-sort columns (and the ragged track arrays) by point id so
+        # downstream index maps are deterministic.
+        counts = np.diff(cols["track_offsets"])[order]
+        new_offsets = np.concatenate([[0], np.cumsum(counts)])
+        gather = np.concatenate(
+            [
+                np.arange(cols["track_offsets"][i],
+                          cols["track_offsets"][i + 1])
+                for i in order
+            ]
+        ) if len(order) else np.zeros(0, np.int64)
+        cols = {
+            "pid": cols["pid"][order],
+            "xyz": cols["xyz"][order],
+            "rgb": cols["rgb"][order],
+            "err": cols["err"][order],
+            "track_offsets": new_offsets,
+            "track_image_ids": cols["track_image_ids"][gather],
+            "track_p2d": cols["track_p2d"][gather],
+        }
+    return cols
+
+
+def _columnar_to_points(cols: Dict[str, np.ndarray]) -> Dict[int, ColmapPoint3D]:
+    points = {}
+    off = cols["track_offsets"]
+    for i, pid in enumerate(cols["pid"]):
+        lo, hi = int(off[i]), int(off[i + 1])
+        points[int(pid)] = ColmapPoint3D(
+            int(pid),
+            cols["xyz"][i],
+            cols["rgb"][i],
+            float(cols["err"][i]),
+            cols["track_image_ids"][lo:hi],
+            cols["track_p2d"][lo:hi],
+        )
+    return points
+
+
 def read_points3d_bin(path: str) -> Dict[int, ColmapPoint3D]:
+    cols = read_points3d_bin_columnar(path)
+    if cols is not None:
+        return _columnar_to_points(cols)
     points = {}
     with open(path, "rb") as fh:
         (n,) = _read(fh, "<Q")
@@ -348,7 +437,23 @@ class SceneManager:
         self.sparse_dir = sparse_dir
         self.cameras: Dict[int, ColmapCamera] = {}
         self.images: Dict[int, ColmapImage] = {}
-        self.points3D: Dict[int, ColmapPoint3D] = {}
+        self._points3D: Optional[Dict[int, ColmapPoint3D]] = {}
+        self._pts_cols: Optional[Dict[str, np.ndarray]] = None
+
+    @property
+    def points3D(self) -> Dict[int, ColmapPoint3D]:
+        """Per-point objects; materialized lazily from the native
+        columnar parse so bulk consumers that stay columnar
+        (``points_array``/``points_err_array``) never pay for millions
+        of Python objects."""
+        if self._points3D is None:
+            self._points3D = _columnar_to_points(self._pts_cols)
+        return self._points3D
+
+    @points3D.setter
+    def points3D(self, value: Dict[int, ColmapPoint3D]) -> None:
+        self._points3D = value
+        self._pts_cols = None
 
     def _find(self, stem: str) -> Optional[str]:
         for ext in (".bin", ".txt"):
@@ -379,9 +484,15 @@ class SceneManager:
         p = self._find("points3D")
         if p is None:
             raise FileNotFoundError(f"points3D.bin/.txt in {self.sparse_dir}")
-        self.points3D = (
-            read_points3d_bin(p) if p.endswith(".bin") else read_points3d_txt(p)
-        )
+        if p.endswith(".bin"):
+            cols = read_points3d_bin_columnar(p)
+            if cols is not None:
+                self._pts_cols = cols
+                self._points3D = None  # materialize on demand
+                return self
+            self.points3D = read_points3d_bin(p)
+        else:
+            self.points3D = read_points3d_txt(p)
         return self
 
     def load_all(self):
@@ -389,10 +500,27 @@ class SceneManager:
 
     def points_array(self):
         """(P, 3) xyz and (P, 3) rgb arrays in id order."""
+        if self._pts_cols is not None:
+            return self._pts_cols["xyz"], self._pts_cols["rgb"]
         pts = sorted(self.points3D.values(), key=lambda p: p.point3D_id)
         xyz = np.stack([p.xyz for p in pts]) if pts else np.zeros((0, 3))
         rgb = np.stack([p.rgb for p in pts]) if pts else np.zeros((0, 3))
         return xyz, rgb
+
+    def points_err_array(self) -> np.ndarray:
+        """(P,) reprojection errors, same id order as points_array."""
+        if self._pts_cols is not None:
+            return self._pts_cols["err"]
+        pts = sorted(self.points3D.values(), key=lambda p: p.point3D_id)
+        return (
+            np.array([p.error for p in pts]) if pts else np.zeros((0,))
+        )
+
+    def point_ids_array(self) -> np.ndarray:
+        """(P,) sorted point3D ids, same order as points_array."""
+        if self._pts_cols is not None:
+            return self._pts_cols["pid"]
+        return np.array(sorted(self.points3D), dtype=np.int64)
 
 
 def write_sparse_model(

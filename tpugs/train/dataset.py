@@ -84,21 +84,21 @@ class Parser:
             )
 
         points, points_rgb = manager.points_array()
-        pts = sorted(manager.points3D.values(), key=lambda p: p.point3D_id)
-        points_err = (
-            np.array([p.error for p in pts]) if pts else np.zeros((0,))
-        )
+        points_err = manager.points_err_array()
         # per-image indices into the points array for the depth loss
-        # (reference ``colmap.py:153-166``).
-        pid_to_idx = {p.point3D_id: i for i, p in enumerate(pts)}
+        # (reference ``colmap.py:153-166``). `sorted_pids` is in the
+        # same order as `points`, so a searchsorted gives the index map
+        # without a Python dict over millions of ids.
+        sorted_pids = np.asarray(manager.point_ids_array(), np.int64)
         point_indices: Dict[str, List[int]] = {}
         for im in images:
-            idxs = [
-                pid_to_idx[pid]
-                for pid in im.point3D_ids
-                if pid >= 0 and pid in pid_to_idx
-            ]
-            point_indices[im.name] = np.array(idxs, dtype=np.int64)
+            pids = np.asarray(im.point3D_ids, np.int64)
+            pids = pids[pids >= 0]
+            pos = np.searchsorted(sorted_pids, pids)
+            valid = (pos < len(sorted_pids)) & (
+                sorted_pids[np.minimum(pos, len(sorted_pids) - 1)] == pids
+            )
+            point_indices[im.name] = pos[valid].astype(np.int64)
 
         if self.normalize and len(points):
             T1 = similarity_from_cameras(camtoworlds)
