@@ -44,6 +44,18 @@ def main(
     viewer_port: int = -1,
     viewer_every: int = 100,
 ):
+    import jax
+
+    # Persistent compilation cache: capacity re-bucketing and
+    # supervisor resumes recompile the step; cached executables make
+    # both (and repeat runs) near-free.
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    except Exception:
+        pass
+
     import jax.numpy as jnp
 
     from tpugs.encoders import get_encoder

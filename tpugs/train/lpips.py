@@ -12,7 +12,7 @@ Weights are not bundled (this environment has no torchvision/lpips
 checkpoints) — ``load_lpips_params`` converts the torch layouts
 (torchvision ``alexnet/vgg16`` ``features.*`` + lpips ``lin*.model.1``)
 into the JAX tree, and is validated against a synthetic state_dict with
-the exact key layout in tests/test_lpips.py. With no weights, callers
+the exact key layout in tests/test_train_modules.py. With no weights, callers
 should skip LPIPS (the trainer reports it only when configured)."""
 
 from __future__ import annotations
