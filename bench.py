@@ -194,6 +194,15 @@ def main():
 
     feats = normalize_field(num, den)
     finite = bool(jnp.isfinite(feats).all())
+    if not finite:
+        # Invalidate the provisional measurements: a NaN run must not
+        # publish a success line (the watchdog would otherwise emit the
+        # recorded number on its own).
+        with _result_lock:
+            _best["views_per_s"] = None
+        print("# non-finite features — no measurement published",
+              flush=True)
+        sys.exit(4)
     views_per_s = args.views / best_dt
     gaussians_per_s = views_per_s * scene.num_gaussians
     _emit(note=(
@@ -202,7 +211,6 @@ def main():
         f"gaussian-splats/s={gaussians_per_s:.3e} finite={finite} "
         f"best_group_s={best_dt:.3f}"
     ))
-    assert finite
     sys.exit(0)
 
 

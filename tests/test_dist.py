@@ -176,6 +176,19 @@ def test_trainer_step_sharded_matches_single(mesh_shape):
     results = {}
     for shape in (mesh_shape, (1, 1)):
         tr = _make_trainer_for_shard()
+        # Non-zero features: at the zero init the loss gradient w.r.t.
+        # the shared feature_proj head is exactly zero, which would
+        # blind this equivalence check to feature_proj grad-scaling
+        # bugs on the gauss axis (the head is NOT all-gathered, so its
+        # cotangent must not be divided by gauss_n like the per-
+        # Gaussian leaves).
+        f_rng = np.random.default_rng(11)
+        tr.scene = tr.scene.replace(
+            features=jnp.asarray(
+                f_rng.normal(0, 0.3, tr.scene.features.shape)
+                .astype(np.float32)
+            )
+        )
         tr._sizes = (64, 4)
         # SGD instead of Adam for the equivalence check: the param delta
         # is then exactly -lr*grad, so this compares the GRADIENTS of the
@@ -196,6 +209,14 @@ def test_trainer_step_sharded_matches_single(mesh_shape):
     s_1, l_1, g_1 = results[(1, 1)]
     assert np.isfinite(float(l_sh))
     np.testing.assert_allclose(float(l_sh), float(l_1), rtol=1e-5)
+    # The shared head's update must match TIGHTLY: a /gauss_n
+    # mis-scaling of its (small at this toy scale) gradient slips under
+    # the leaf-wise atol below. Measured: the bug gives exactly half
+    # the (1,1) gradient on a (2,2) mesh; the fix gives bit-identical.
+    np.testing.assert_allclose(
+        np.asarray(s_sh.feature_proj), np.asarray(s_1.feature_proj),
+        atol=1e-7,
+    )
     np.testing.assert_allclose(
         np.asarray(g_sh), np.asarray(g_1), atol=1e-5
     )

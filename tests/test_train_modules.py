@@ -270,3 +270,29 @@ def test_evaluate_reports_lpips():
 
     out = tr.evaluate(DS())
     assert "lpips" in out and np.isfinite(out["lpips"])
+
+
+def test_full_checkpoint_resume_after_densification(tmp_path):
+    """Resuming a checkpoint whose N differs from the fresh trainer's
+    must rebuild the N-sized densification stats (GradState), or the
+    first post-resume step crashes — the exact scenario the training
+    supervisor exists for."""
+    cfg = tiny_cfg(strategy="default", refine_start_iter=1,
+                   refine_every=2, refine_stop_iter=100,
+                   grow_grad2d=1e-12, prune_opa=-1.0)
+    scene = init_scene_random(cfg)
+    tr = Trainer(cfg, scene, width=W, height=H)
+    gt = make_batch(tr)
+    n0 = tr.scene.num_gaussians
+    for _ in range(6):
+        tr.train_step(gt)
+    assert tr.scene.num_gaussians != n0, "densification never fired"
+    path = str(tmp_path / "full.npz")
+    tr.save_checkpoint_full(path)
+
+    tr2 = Trainer(cfg, init_scene_random(cfg), width=W, height=H)
+    assert tr2.scene.num_gaussians == n0
+    tr2.load_checkpoint_full(path)
+    assert tr2.grad_state.grad2d_sum.shape[0] == tr2.scene.num_gaussians
+    out = tr2.train_step(gt)  # crashed before the GradState rebuild
+    assert np.isfinite(out["loss"])

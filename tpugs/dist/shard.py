@@ -181,6 +181,11 @@ def make_trainer_step_sharded(trainer, mesh: Mesh, batch_size: int):
     assert trainer.pose_params is None and trainer.app_params is None, (
         "pose/app modules are single-chip only for now"
     )
+    # The sharded loss renders every view with cam_id=0; a per-camera
+    # pose perturbation would silently apply camera 0's noise to all.
+    assert trainer.pose_perturb is None, (
+        "pose_noise is single-chip only for now"
+    )
     n = trainer.scene.num_gaussians
     assert n % gauss_n == 0 and batch_size % cam_n == 0
     sh_degree = cfg.sh_degree
@@ -237,10 +242,14 @@ def make_trainer_step_sharded(trainer, mesh: Mesh, batch_size: int):
         if gauss_n > 1:
             # Every gauss-axis device computes the SAME replicated loss,
             # so the psum_scatter transpose of gather_scene's all_gather
-            # sums gauss_n identical cotangents — normalize back. (The
-            # offset grads never traverse the all_gather, so goff is
-            # counted once already.)
+            # sums gauss_n identical cotangents — normalize back. The
+            # shared feature_proj head is NOT all-gathered (gather_scene
+            # keeps the local copy), so its cotangent is counted once
+            # and must not be divided; same for goff, which never
+            # traverses the all_gather.
+            fp_grad = grads.feature_proj
             grads = jax.tree_util.tree_map(lambda g: g / gauss_n, grads)
+            grads = grads.replace(feature_proj=fp_grad)
         if gauss_n > 1:
             # goff is full-N and identical across the gauss axis after
             # the cam psum ONLY for the replicated offset input; keep

@@ -445,9 +445,11 @@ class SceneManager:
         """Per-point objects; materialized lazily from the native
         columnar parse so bulk consumers that stay columnar
         (``points_array``/``points_err_array``) never pay for millions
-        of Python objects."""
+        of Python objects. Handing out the (mutable) dict drops the
+        columnar cache so later bulk reads see any in-place edits."""
         if self._points3D is None:
             self._points3D = _columnar_to_points(self._pts_cols)
+        self._pts_cols = None
         return self._points3D
 
     @points3D.setter

@@ -69,17 +69,25 @@ def available() -> bool:
 
 
 def _decorate(lib) -> None:
-    import numpy as np  # noqa: F401  (kept for symmetry with scene_io)
     u8p = ctypes.POINTER(ctypes.c_uint8)
     u64p = ctypes.POINTER(ctypes.c_uint64)
-    lib.colmap_points3d_count.argtypes = [
-        u8p, ctypes.c_uint64, u64p, u64p]
+    u64 = ctypes.c_uint64
+    vp = ctypes.c_void_p
+    # Every length crossing the boundary must be declared c_uint64:
+    # ctypes' default int conversion truncates to a 32-bit C int, which
+    # breaks files >= 2 GiB (exactly the scale this module exists for).
+    lib.colmap_points3d_count.argtypes = [u8p, u64, u64p, u64p]
     lib.colmap_points3d_count.restype = ctypes.c_int
+    lib.colmap_points3d_parse.argtypes = [
+        u8p, u64, vp, vp, vp, vp, vp, vp, vp]
     lib.colmap_points3d_parse.restype = ctypes.c_int
-    lib.colmap_images_count.argtypes = [
-        u8p, ctypes.c_uint64, u64p, u64p, u64p]
+    lib.colmap_images_count.argtypes = [u8p, u64, u64p, u64p, u64p]
     lib.colmap_images_count.restype = ctypes.c_int
+    lib.colmap_images_parse.argtypes = [
+        u8p, u64, vp, vp, vp, vp, ctypes.c_char_p, vp, vp, vp, vp]
     lib.colmap_images_parse.restype = ctypes.c_int
-    lib.colmap_points3d_size.argtypes = [ctypes.c_uint64, ctypes.c_uint64]
-    lib.colmap_points3d_size.restype = ctypes.c_uint64
+    lib.colmap_points3d_size.argtypes = [u64, u64]
+    lib.colmap_points3d_size.restype = u64
+    lib.colmap_points3d_write.argtypes = [
+        u64, vp, vp, vp, vp, vp, vp, vp, vp]
     lib.colmap_points3d_write.restype = ctypes.c_int

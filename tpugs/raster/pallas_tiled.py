@@ -122,6 +122,50 @@ def _cover_hist_jit(proj: Projected, tile_size, width, height, max_cover):
     return jnp.sum(cnt[None, :] > j[:, None], axis=1)
 
 
+def _sort_by_tile_rank(tid_flat, gid_flat, eidx, n, n_tiles,
+                       force_path=None):
+    """Sort expansion entries by (tile, depth-rank).
+
+    Packs (tile, rank) into one uint32 key when it fits: a one-key
+    two-operand sort moves ~40% less data through the sort network than
+    the two-key three-operand form (the sort dominates plan cost).
+    Two bit-savers widen the packed path to garden scale (524k
+    Gaussians x 4293 tiles needs 33 bits signed, 32 unsigned):
+    sentinel entries (tid == n_tiles) never share a tile with valid
+    ones, so their rank can be clamped to n-1 (saving the +1 bit when
+    n is a power of two), and uint32 keys buy the sign bit.
+
+    Returns (tid_s, gid_s, eidx_s, tile_starts_full). ``force_path``
+    ("packed"/"twokey") is a test hook; gid_s of sentinel rows is
+    path-dependent (n-1 packed, n two-key) and every consumer masks on
+    tid_s < n_tiles first.
+    """
+    S = 1 << int(np.ceil(np.log2(max(n, 2))))
+    packed = (n_tiles + 1) * S <= 2**32
+    if force_path is not None:
+        packed = force_path == "packed"
+        assert not (packed and (n_tiles + 1) * S > 2**32)
+    if packed:
+        gid_key = jnp.minimum(gid_flat, n - 1).astype(jnp.uint32)
+        key = tid_flat.astype(jnp.uint32) * jnp.uint32(S) + gid_key
+        key_s, eidx_s = jax.lax.sort((key, eidx), num_keys=1, is_stable=False)
+        tid_s = (key_s // jnp.uint32(S)).astype(jnp.int32)  # pow2 -> shift
+        gid_s = (key_s & jnp.uint32(S - 1)).astype(jnp.int32)
+        tile_starts_full = jnp.searchsorted(
+            key_s,
+            jnp.arange(n_tiles + 1, dtype=jnp.uint32) * jnp.uint32(S),
+            side="left",
+        ).astype(jnp.int32)
+    else:
+        tid_s, gid_s, eidx_s = jax.lax.sort(
+            (tid_flat, gid_flat, eidx), num_keys=2, is_stable=False
+        )
+        tile_starts_full = jnp.searchsorted(
+            tid_s, jnp.arange(n_tiles + 1, dtype=jnp.int32), side="left"
+        ).astype(jnp.int32)
+    return tid_s, gid_s, eidx_s, tile_starts_full
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -215,27 +259,9 @@ def _plan_build(
         tid_flat, gid_flat = tid_hi, gid_hi
 
     eidx = jnp.arange(tid_flat.shape[0], dtype=jnp.int32)
-    # Pack (tile, depth-rank) into one int32 key when it fits: a one-key
-    # two-operand sort moves ~40% less data through the sort network than
-    # the two-key three-operand form (the sort dominates plan cost).
-    S = 1 << int(np.ceil(np.log2(max(n + 1, 2))))
-    if (n_tiles + 1) * S < 2**31:
-        key = tid_flat * S + gid_flat
-        key_s, eidx_s = jax.lax.sort((key, eidx), num_keys=1, is_stable=False)
-        tid_s = key_s // S  # S is a power of two -> lowered to a shift
-        gid_s = key_s - tid_s * S
-        tile_starts_full = jnp.searchsorted(
-            key_s,
-            jnp.arange(n_tiles + 1, dtype=jnp.int32) * S,
-            side="left",
-        ).astype(jnp.int32)
-    else:
-        tid_s, gid_s, eidx_s = jax.lax.sort(
-            (tid_flat, gid_flat, eidx), num_keys=2, is_stable=False
-        )
-        tile_starts_full = jnp.searchsorted(
-            tid_s, jnp.arange(n_tiles + 1, dtype=jnp.int32), side="left"
-        ).astype(jnp.int32)
+    tid_s, gid_s, eidx_s, tile_starts_full = _sort_by_tile_rank(
+        tid_flat, gid_flat, eidx, n, n_tiles
+    )
     spans = tile_starts_full[1:] - tile_starts_full[:-1]
     padded_spans = cdiv_arr(spans, BLOCK) * BLOCK
     padded_starts = jnp.concatenate(
@@ -349,8 +375,18 @@ def estimate_pallas_sizes(
         h = np.asarray(
             _cover_hist_jit(proj, tile_size, width, height, bucket(cr))
         )
-        h = np.pad(h, (0, max(0, 256 - len(h))))[:256]
-        hist = h if hist is None else np.maximum(hist, h)
+        # Grow to the longest histogram seen — truncating (e.g. at a
+        # fixed 256) would fabricate zero counts for very-high-cover
+        # Gaussians and under-size their caps (silent contribution
+        # drops in the reduce). Columns beyond a view's own bucket(cr)
+        # are genuinely zero.
+        if hist is None:
+            hist = h
+        else:
+            L = max(len(hist), len(h))
+            hist = np.maximum(
+                np.pad(hist, (0, L - len(hist))), np.pad(h, (0, L - len(h)))
+            )
     cover = max(1, int(np.ceil(cover_req * margin)))
     max_cover = 8 * cdiv(cover, 8)
     t = int(np.ceil(t_padded * margin))

@@ -901,6 +901,10 @@ class Trainer:
         if self.app_params is not None and "app__0" in data:
             self.app_params = get("app", self.app_params)
             self.app_opt_state = get("app_opt", self.app_opt_state)
+        # Densification stats are sized by N, which the checkpoint may
+        # have changed — rebuild, or the first post-resume accumulate
+        # broadcasts against the old shape and crashes the resume loop.
+        self.grad_state = GradState.zeros(self.scene.num_gaussians)
         self._sizes = None
 
     def save_stats(self, stats: dict, path: str):
