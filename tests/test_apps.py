@@ -3,6 +3,8 @@ demo flow (backproject CLI -> segment CLI) with a synthetic encoder."""
 
 import os
 
+import pytest
+
 import numpy as np
 
 from tpugs.io.checkpoints import save_scene_pt
@@ -80,6 +82,23 @@ def test_backproject_batch_mode(tmp_path):
     np.testing.assert_allclose(
         np.asarray(f_batch), np.asarray(f_loop), atol=1e-4
     )
+    # The production engine (Pallas kernels, interpret-mode on CPU)
+    # must agree with the scan engine through the same CLI, within the
+    # bf16 contribution tolerance.
+    f_pallas = backproject_main(
+        data_dir=data_dir, checkpoint=ckpt, results_dir=results,
+        format="gsplat", data_factor=1, feature="linear:8",
+        skip_prune=True, engine="pallas",
+    )
+    np.testing.assert_allclose(
+        np.asarray(f_pallas), np.asarray(f_loop), atol=5e-3
+    )
+    with pytest.raises(ValueError, match="unknown engine"):
+        backproject_main(
+            data_dir=data_dir, checkpoint=ckpt, results_dir=results,
+            format="gsplat", data_factor=1, feature="linear:8",
+            skip_prune=True, engine="bogus",
+        )
 
 
 def test_cli_parser():

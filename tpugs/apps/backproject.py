@@ -26,7 +26,16 @@ def main(
     encoder_ckpt: str = "",
     skip_prune: bool = False,
     batch: bool = True,
+    engine: str = "auto",
+    strict_sizes: bool = False,
 ):
+    """``engine``: 'pallas' (production TPU kernels, the bench path),
+    'scan' (pure-JAX one-jit batch), 'eager' (per-view loop), or
+    'auto' = pallas on an accelerator, scan on CPU. ``--no-batch`` is
+    kept as an alias for engine=eager. ``strict_sizes`` turns the
+    host-side static-size overflow audit from a warning into an error."""
+    import jax
+
     from tpugs.encoders import get_encoder
     from tpugs.io.checkpoints import load_checkpoint
     from tpugs.lift.backproject import create_feature_field
@@ -42,7 +51,33 @@ def main(
 
     encoder = get_encoder(feature, encoder_ckpt or None)
 
-    if batch:
+    if engine == "auto":
+        on_cpu = jax.devices()[0].platform == "cpu"
+        engine = "scan" if on_cpu else "pallas"
+    if not batch:
+        engine = "eager"
+
+    if engine == "pallas":
+        from tpugs.lift.batch import normalize_field
+        from tpugs.lift.pallas_batch import (
+            backproject_views_grouped,
+            estimate_sizes_pallas,
+        )
+        from tpugs.raster.pallas_tiled import check_pallas_sizes
+
+        sizes = estimate_sizes_pallas(scene, cams, probe_stride=2)
+        check_pallas_sizes(
+            scene.means, scene.quats, scene.scales, scene.opacities,
+            cams.viewmats, cams.Ks, cams.width, cams.height, sizes,
+            stride=2, raise_on_overflow=strict_sizes,
+        )
+        num, den = backproject_views_grouped(
+            scene, cams.viewmats, cams.Ks, cams.width, cams.height,
+            encoder, sizes,
+            interpret=jax.devices()[0].platform == "cpu",
+        )
+        features = normalize_field(num, den)
+    elif engine == "scan":
         from tpugs.lift.batch import (
             create_feature_field_batch,
             estimate_sizes,
@@ -53,8 +88,11 @@ def main(
             scene, cams.viewmats, cams.Ks, cams.width, cams.height,
             encoder, sizes,
         )
-    else:
+    elif engine == "eager":
         features = create_feature_field(scene, cams, encoder)
+    else:
+        raise ValueError(f"unknown engine {engine!r} "
+                         "(expected auto|pallas|scan|eager)")
 
     out = os.path.join(results_dir, f"features_{feature}.npz")
     np.savez(out, features=np.asarray(features))
