@@ -34,7 +34,12 @@ def main(
     data_factor: int = 4,
     feature: str = "lseg",
     skip_prune: bool = False,
+    engine: str = "auto",
 ):
+    """``engine``: 'pallas' (production TPU kernels), 'eager' (per-view
+    loop), or 'auto' = pallas on an accelerator, eager on CPU."""
+    import jax
+
     from tpugs.codec.linear import load_codec
     from tpugs.encoders import get_encoder
     from tpugs.io.checkpoints import load_checkpoint
@@ -50,7 +55,28 @@ def main(
 
     codec = load_codec(codec_path)
     encoder = CompressedEncoder(get_encoder(feature), codec)
-    features = create_feature_field(scene, cams, encoder)
+    if engine == "auto":
+        on_cpu = jax.devices()[0].platform == "cpu"
+        engine = "eager" if on_cpu else "pallas"
+    if engine == "pallas":
+        from tpugs.lift.batch import normalize_field
+        from tpugs.lift.pallas_batch import (
+            backproject_views_grouped,
+            estimate_sizes_pallas,
+        )
+
+        sizes = estimate_sizes_pallas(scene, cams, probe_stride=2)
+        num, den = backproject_views_grouped(
+            scene, cams.viewmats, cams.Ks, cams.width, cams.height,
+            encoder, sizes,
+            interpret=jax.devices()[0].platform == "cpu",
+        )
+        features = normalize_field(num, den)
+    elif engine == "eager":
+        features = create_feature_field(scene, cams, encoder)
+    else:
+        raise ValueError(f"unknown engine {engine!r} "
+                         "(expected auto|pallas|eager)")
     out = os.path.join(results_dir, f"features_{feature}_compressed.npz")
     np.savez(out, features=np.asarray(features))
     print("Saved", out, features.shape)
