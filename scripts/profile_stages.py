@@ -47,6 +47,9 @@ def main():
     ap.add_argument("--feature-dim", type=int, default=512)
     ap.add_argument("--tile", type=int, default=DEFAULT_TILE)
     ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--plan-breakdown", action="store_true",
+                    help="also time the plan's internal stages "
+                         "(expansion / sort / scatters)")
     ap.add_argument("--profile-dir", type=str, default="",
                     help="capture a jax.profiler trace here")
     args = ap.parse_args()
@@ -75,6 +78,97 @@ def main():
         ).padded_gid
 
     measure(f_plan, scene.means, iters=it, name="plan", verbose=True)
+
+    if args.plan_breakdown:
+        # Time the plan's internal stages (mirrors _plan_build:
+        # expansion -> sort -> slots scatter -> padded_gid scatter) so
+        # perf work targets the right one. Shapes follow the
+        # size-classed layout.
+        from tpugs.raster.binning import tile_bbox
+        from tpugs.raster.pallas_tiled import _sort_by_tile_rank, BLOCK
+        from tpugs.raster.pallas_tiled import cdiv_arr
+
+        ntx, nty = (W + args.tile - 1) // args.tile, (H + args.tile - 1) // args.tile
+        n_tiles = ntx * nty
+        n = scene.means.shape[0]
+        mc, cap_hi, LO = sizes.max_cover, sizes.cap_hi, sizes.lo_cover
+
+        @jax.jit
+        def stage_expand(means):
+            proj = project(means, scene.quats, scene.scales,
+                           scene.opacities, vm, K, W, H, pc)
+            depth_key = jnp.where(proj.valid, proj.depths, jnp.inf)
+            order = jnp.argsort(depth_key)
+            m2d = proj.means2d[order]
+            radii = proj.radii[order]
+            valid = proj.valid[order]
+            tx0, ty0, tx1, ty1 = tile_bbox(m2d, radii, valid, args.tile, ntx, nty)
+            cnt = (tx1 - tx0) * (ty1 - ty0)
+            cover_rank = jnp.argsort(-cnt)
+
+            def expand(rows, slots_per):
+                r_w = jnp.maximum(tx1 - tx0, 1)[rows]
+                jj = jnp.arange(slots_per, dtype=jnp.int32)
+                jx = jj[None, :] % r_w[:, None]
+                jy = jj[None, :] // r_w[:, None]
+                sv = jj[None, :] < jnp.minimum(cnt[rows], slots_per)[:, None]
+                t = (ty0[rows][:, None] + jy) * ntx + (tx0[rows][:, None] + jx)
+                t = jnp.where(sv, t, n_tiles).astype(jnp.int32)
+                g = jnp.where(sv, rows[:, None], n).astype(jnp.int32)
+                return t.reshape(-1), g.reshape(-1)
+
+            t_hi, g_hi = expand(cover_rank[:cap_hi], mc)
+            t_lo, g_lo = expand(cover_rank[cap_hi:], LO)
+            return jnp.concatenate([t_hi, t_lo]), jnp.concatenate([g_hi, g_lo])
+
+        def f_expand(eps, means):
+            m = means + (eps * jnp.uint32(0)).astype(jnp.float32)
+            return stage_expand(m)[0]
+
+        measure(f_expand, scene.means, iters=it, name="plan/expand",
+                verbose=True)
+        tid_flat, gid_flat = stage_expand(scene.means)
+        eidx = jnp.arange(tid_flat.shape[0], dtype=jnp.int32)
+        print(f"plan/expand entries: {tid_flat.shape[0]}", flush=True)
+
+        def f_sort(eps, tf, gf):
+            t = tf + eps.astype(jnp.int32) * 0
+            return _sort_by_tile_rank(t, gf, eidx, n, n_tiles)[0]
+
+        measure(f_sort, tid_flat, gid_flat, iters=it, name="plan/sort",
+                verbose=True)
+        tid_s, gid_s, eidx_s, starts_full = jax.jit(
+            lambda tf, gf: _sort_by_tile_rank(tf, gf, eidx, n, n_tiles)
+        )(tid_flat, gid_flat)
+        spans = starts_full[1:] - starts_full[:-1]
+        padded_spans = cdiv_arr(spans, BLOCK) * BLOCK
+        padded_starts = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32),
+             jnp.cumsum(padded_spans)[:-1].astype(jnp.int32)]
+        )
+        T_pad = sizes.T_padded
+        s_idx = jnp.arange(tid_s.shape[0], dtype=jnp.int32)
+        tile_of_s = jnp.minimum(tid_s, n_tiles - 1)
+        pos = padded_starts[tile_of_s] + (s_idx - starts_full[tile_of_s])
+        pos = jnp.where(tid_s < n_tiles, pos, T_pad)
+
+        def f_slot_scatter(eps, p, ei):
+            pp = p + eps.astype(jnp.int32) * 0
+            return jnp.full((tid_flat.shape[0],), T_pad, jnp.int32).at[
+                ei].set(pp, unique_indices=True)
+
+        measure(f_slot_scatter, pos, eidx_s, iters=it,
+                name="plan/slots-scatter", verbose=True)
+
+        def f_gid_scatter(eps, p, g):
+            pp = p + eps.astype(jnp.int32) * 0
+            return jnp.full((T_pad + 1,), n, jnp.int32).at[pp].set(
+                jnp.where(tid_s < n_tiles, g, n), unique_indices=True
+            )[:T_pad]
+
+        measure(f_gid_scatter, pos, gid_s, iters=it,
+                name="plan/gid-scatter", verbose=True)
+        del tid_flat, gid_flat, tid_s, gid_s, eidx_s, pos
 
     plan = jax.jit(
         build_plan_pure,
