@@ -364,3 +364,27 @@ def test_sort_by_tile_rank_paths_agree():
     np.testing.assert_array_equal(
         np.where(valid, a[1], 0), np.where(valid, gid[a[2]], 0)
     )
+
+
+def test_estimate_sizes_high_cover_histogram_not_truncated():
+    """estimate_pallas_sizes must size cover caps correctly even when
+    Gaussians cover more than 256 tiles (the histogram used to be
+    truncated at 256 columns, fabricating zero counts and under-sized
+    caps -> silent contribution drops in the reduce)."""
+    from tpugs.lift.pallas_batch import estimate_sizes_pallas
+    from tpugs.utils.synthetic import orbit_cameras, random_scene
+
+    # 1400 big clustered splats, each covering hundreds of tiles at
+    # 1296x840 with 16px tiles.
+    scene = random_scene(1400, seed=0, extent=0.1,
+                         scale_range=(0.30, 0.40), sh_degree=0)
+    cams = orbit_cameras(1, 1296, 840, radius=2.5)
+    sizes = estimate_sizes_pallas(scene, cams, probe_stride=1)
+    assert sizes.max_cover > 256, (
+        f"test scene too small: max_cover={sizes.max_cover}"
+    )
+    # Pre-fix, every cap column >= 256 fell to the 1024 floor even
+    # though ~1400 Gaussians genuinely cover that many tiles.
+    deep = [c for c in sizes.cover_caps[256:] if c > 1024]
+    assert deep, f"caps beyond column 256 under-sized: "\
+                 f"{sizes.cover_caps[256:260]}"
