@@ -216,11 +216,20 @@ def read_images_bin(path: str) -> Dict[int, ColmapImage]:
 
 
 def _read_images_bin_native(path: str) -> Optional[Dict[int, ColmapImage]]:
-    """C++ fast path (tpugs/native); None if the library is absent."""
+    """C++ fast path (tpugs/native); None if the library is absent.
+    A parse error (ValueError) falls back to the pure reader too — the
+    file may still be readable there — but with a visible warning so a
+    native-parser bug can't hide behind the silent fallback."""
     try:
         from tpugs.native import scene_io as _nat
         with open(path, "rb") as fh:
             cols = _nat.parse_images(fh.read())
+    except ValueError as e:
+        import warnings
+
+        warnings.warn(f"native images.bin parse failed ({e}); "
+                      "falling back to the pure-Python reader")
+        return None
     except Exception:
         return None
     if cols is None:
@@ -253,6 +262,12 @@ def read_points3d_bin_columnar(path: str) -> Optional[Dict[str, np.ndarray]]:
         from tpugs.native import scene_io as _nat
         with open(path, "rb") as fh:
             cols = _nat.parse_points3d(fh.read())
+    except ValueError as e:
+        import warnings
+
+        warnings.warn(f"native points3D.bin parse failed ({e}); "
+                      "falling back to the pure-Python reader")
+        return None
     except Exception:
         return None
     if cols is None:
