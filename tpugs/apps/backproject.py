@@ -60,6 +60,7 @@ def main(
     if engine == "pallas":
         from tpugs.lift.batch import normalize_field
         from tpugs.lift.pallas_batch import (
+            DEFAULT_TILE,
             backproject_views_grouped,
             estimate_sizes_pallas,
         )
@@ -69,6 +70,7 @@ def main(
         check_pallas_sizes(
             scene.means, scene.quats, scene.scales, scene.opacities,
             cams.viewmats, cams.Ks, cams.width, cams.height, sizes,
+            tile_size=DEFAULT_TILE,  # must match the engine's tiling
             stride=2, raise_on_overflow=strict_sizes,
         )
         num, den = backproject_views_grouped(
