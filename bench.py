@@ -170,9 +170,10 @@ def main():
         )
 
     # (block_until_ready is unreliable on the remote TPU backend —
-    # force a device-to-host read to sync.)
+    # force a device-to-host read to sync.) Returns the sampled scalar
+    # so callers can sanity-check finiteness before recording.
     def sync(x):
-        np.asarray(jax.device_get(x.ravel()[:1]))
+        return float(np.asarray(jax.device_get(x.ravel()[:1]))[0])
 
     # Warmup / compile.
     out = run(scene)
@@ -187,10 +188,12 @@ def main():
         scene_t = scene.replace(means=scene.means + 1e-6 * (rep + 1))
         t0 = time.perf_counter()
         num, den = run(scene_t)
-        sync(den)
+        probe = sync(den)
         dt = time.perf_counter() - t0
         best_dt = dt if best_dt is None else min(best_dt, dt)
-        _record(args.views / dt)
+        # Only offer the watchdog numbers whose output sample is sane.
+        if np.isfinite(probe):
+            _record(args.views / dt)
 
     feats = normalize_field(num, den)
     finite = bool(jnp.isfinite(feats).all())
