@@ -388,3 +388,51 @@ def test_estimate_sizes_high_cover_histogram_not_truncated():
     deep = [c for c in sizes.cover_caps[256:] if c > 1024]
     assert deep, f"caps beyond column 256 under-sized: "\
                  f"{sizes.cover_caps[256:260]}"
+
+
+def test_subcutoff_tile_cull_exact_and_shrinks():
+    """The sub-cutoff circle-vs-tile-rect cull (projection.cut_r2 +
+    binning.tile_cut_mask) must drop only provably-zero intersections:
+    renders match a bbox-only binning to float reassociation noise,
+    while low-opacity
+    scenes bin strictly fewer intersections (reference keeps the full
+    bbox because gsplat bakes it into the radix-sort key)."""
+    from tpugs.raster.binning import build_tile_binning
+    from tpugs.raster.projection import ProjectionConfig, project
+    from tpugs.raster.tiled import TileConfig, render_tiled, required_blocks
+
+    scene, cams = _setup(n=400, seed=7)
+    # Mix in low opacities: the cutoff circle shrinks well inside the
+    # 3-sigma bbox for those, so whole tiles drop out.
+    lo = np.asarray(scene.logit_opacities).copy()
+    lo[::3] -= 3.0
+    lo[1::3] -= 1.5
+    scene = scene.replace(logit_opacities=jnp.asarray(lo))
+    vm, K = cams.viewmats[0], cams.Ks[0]
+    proj = project(*_args(scene), vm, K, W, H, ProjectionConfig())
+    colors = jnp.abs(scene.sh0[:, 0, :])
+
+    imgs = {}
+    isects = {}
+    for tag, p in (
+        ("cut", proj),
+        ("nocut", proj._replace(cut_r2=proj.radii**2)),
+    ):
+        b = build_tile_binning(p, 16, W, H, 64)
+        od = b.order
+        opac = jnp.where(p.valid, p.opacities, 0.0)
+        img, alpha = render_tiled(
+            p.means2d[od], p.conics[od], opac[od], colors[od],
+            b.sorted_gid, b.tile_starts, W, H,
+            required_blocks(b, TileConfig().block_size),
+        )
+        imgs[tag] = (np.asarray(img), np.asarray(alpha))
+        isects[tag] = int(b.n_isects)
+
+    assert isects["cut"] < isects["nocut"], isects
+    # Dropped intersections have alpha < 1/255 at every pixel of their
+    # tile, which the compositor zeroes anyway. Removing the zero
+    # entries shifts block boundaries, so f32 products reassociate:
+    # equal up to ~1 ulp, nothing above it.
+    np.testing.assert_allclose(imgs["cut"][0], imgs["nocut"][0], atol=1e-6)
+    np.testing.assert_allclose(imgs["cut"][1], imgs["nocut"][1], atol=1e-6)

@@ -21,6 +21,17 @@ Layering (mirrors reference SURVEY layer map):
 
 __version__ = "0.1.0"
 
+import os as _os
+
+if _os.environ.get("TPUGS_PLATFORM"):
+    # Escape hatch for a dead/contended accelerator tunnel: the axon
+    # plugin force-registers itself and ignores JAX_PLATFORMS, so honor
+    # an explicit platform request via jax.config (which it respects).
+    # e.g. TPUGS_PLATFORM=cpu python -m tpugs.apps.backproject ...
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["TPUGS_PLATFORM"])
+
 from tpugs.core.scene import GaussianScene  # noqa: F401
 from tpugs.core.camera import Camera  # noqa: F401
 from tpugs.raster.api import rasterize  # noqa: F401

@@ -64,6 +64,31 @@ def tile_bbox(
     return tx0, ty0, tx1, ty1
 
 
+def tile_cut_mask(
+    means2d: jax.Array,  # (N, 2)
+    cut_r2: jax.Array,  # (N,)
+    tx: jax.Array,  # (N, K) candidate tile x indices
+    ty: jax.Array,  # (N, K)
+    tile_size: int,
+) -> jax.Array:
+    """False where every pixel of tile (tx, ty) is provably below the
+    1/255 alpha clip for the Gaussian (``cut_r2`` from ``project``):
+    the nearest point of the tile rectangle to the 2D mean is farther
+    than the cutoff circle. Dropping those intersections changes no
+    output beyond f32 reassociation (the kernels zero sub-clip alphas
+    anyway; removing zero entries only shifts block boundaries). Pixel
+    centers sit at +0.5 inside [x0, x0+ts], so testing the full
+    rectangle is conservative."""
+    ts = float(tile_size)
+    x0 = tx.astype(jnp.float32) * ts
+    y0 = ty.astype(jnp.float32) * ts
+    mx = means2d[..., 0:1]
+    my = means2d[..., 1:2]
+    dx = jnp.maximum(jnp.maximum(x0 - mx, mx - (x0 + ts)), 0.0)
+    dy = jnp.maximum(jnp.maximum(y0 - my, my - (y0 + ts)), 0.0)
+    return dx * dx + dy * dy <= cut_r2[..., None]
+
+
 class TileBinning(NamedTuple):
     order: jax.Array  # (N,) depth-sort permutation (front first)
     sorted_gid: jax.Array  # (N*max_cover,) idx into depth-ordered arrays;
@@ -104,6 +129,12 @@ def build_tile_binning(
     jx = j[None, :] % w_safe[:, None]
     jy = j[None, :] // w_safe[:, None]
     slot_valid = j[None, :] < cnt[:, None]
+    # Drop bbox candidates that are provably below the alpha clip
+    # everywhere in the tile (exact; see tile_cut_mask).
+    slot_valid &= tile_cut_mask(
+        m2d, proj.cut_r2[order], tx0[:, None] + jx, ty0[:, None] + jy,
+        tile_size,
+    )
     tid = (ty0[:, None] + jy) * ntx + (tx0[:, None] + jx)
     tid = jnp.where(slot_valid, tid, n_tiles).astype(jnp.int32)
     gid = jnp.broadcast_to(

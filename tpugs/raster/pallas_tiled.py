@@ -211,15 +211,8 @@ def _plan_build(
     w = tx1 - tx0
     h = ty1 - ty0
     cnt = w * h
-    j = jnp.arange(max_cover, dtype=jnp.int32)
     w_safe = jnp.maximum(w, 1)
-    jx = j[None, :] % w_safe[:, None]
-    jy = j[None, :] // w_safe[:, None]
-    slot_valid = j[None, :] < cnt[:, None]
-    tid = (ty0[:, None] + jy) * ntx + (tx0[:, None] + jx)
-    tid = jnp.where(slot_valid, tid, n_tiles).astype(jnp.int32)
-    gid = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None], (n, max_cover))
-    gid = jnp.where(slot_valid, gid, n).astype(jnp.int32)
+    cut_r2 = proj.cut_r2[order]
 
     # ---- size-classed expansion: sort Gaussians by descending cover;
     # the first H get max_cover slots, the rest lo_cover slots. The
@@ -232,6 +225,8 @@ def _plan_build(
         H_cls, LO = cap_hi, min(lo_cover, max_cover)
 
     def expand(rows, slots_per):
+        from tpugs.raster.binning import tile_cut_mask
+
         r_tx0 = tx0[rows]
         r_ty0 = ty0[rows]
         r_w = w_safe[rows]
@@ -243,6 +238,14 @@ def _plan_build(
         # size estimation's cap_hi margin must cover all high-cover
         # Gaussians; see estimate_pallas_sizes)
         sv = jj[None, :] < jnp.minimum(r_cnt, slots_per)[:, None]
+        # Sub-cutoff tile cull (exact): bbox candidates whose whole tile
+        # is below the 1/255 alpha clip become sentinels, shrinking the
+        # real per-tile spans (hence T_padded, the adjoint grid, and the
+        # reduce) without changing any output pixel or gradient.
+        sv &= tile_cut_mask(
+            m2d[rows], cut_r2[rows],
+            r_tx0[:, None] + jx, r_ty0[:, None] + jy, tile_size,
+        )
         t = (r_ty0[:, None] + jy) * ntx + (r_tx0[:, None] + jx)
         t = jnp.where(sv, t, n_tiles).astype(jnp.int32)
         g = jnp.where(sv, rows[:, None], n).astype(jnp.int32)

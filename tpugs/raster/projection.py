@@ -31,6 +31,10 @@ class Projected(NamedTuple):
     radii: jax.Array  # (N,) conservative pixel radius (0 if culled)
     opacities: jax.Array  # (N,) effective opacity (compensated if antialiased)
     valid: jax.Array  # (N,) bool
+    cut_r2: jax.Array  # (N,) squared pixel distance beyond which alpha is
+    #                     provably < 1/255 (the compositing clip) — tiles
+    #                     entirely outside this circle can be dropped from
+    #                     tile lists (output exact up to f32 reassociation)
 
 
 def quat_to_rotmat(quats: jax.Array) -> jax.Array:
@@ -189,6 +193,16 @@ def project(
         & (opac >= ALPHA_CLIP_MIN)
     )
     radius = jnp.where(valid, radius, 0.0)
+    # Sub-cutoff circle: alpha(p) = op*exp(-q/2) with q >= |p-mean|^2 /
+    # lambda_max, so |p-mean|^2 > 2*lambda_max*ln(255*op) implies
+    # alpha < 1/255, which evaluate_alpha/_block_weights zero exactly.
+    # Tiles whose nearest point lies outside this circle contribute
+    # nothing and can be dropped from tile lists (gsplat can't: its bbox
+    # is baked into the radix-sort key). 1e-4 headroom absorbs f32
+    # rounding differences between this bound and the kernel's sigma.
+    cut_r2 = 2.0 * lambda_max * jnp.log(jnp.maximum(255.0 * opac, 1.0))
+    cut_r2 = jnp.minimum(cut_r2 * 1.0001, radius * radius)
+    cut_r2 = jnp.where(valid, cut_r2, 0.0)
     return Projected(
         means2d=means2d,
         conics=conic,
@@ -196,6 +210,7 @@ def project(
         radii=radius,
         opacities=opac,
         valid=valid,
+        cut_r2=cut_r2,
     )
 
 

@@ -29,7 +29,6 @@ from tpugs.raster import sh as sh_mod
 from tpugs.raster.binning import bucket, build_tile_binning, cdiv
 from tpugs.raster.projection import (
     ProjectionConfig,
-    Projected,
     project,
     view_directions,
 )
@@ -340,10 +339,7 @@ class Trainer:
         # Screen-gradient probe for densification: offset2d is zero, but
         # d loss / d offset2d == d loss / d means2d (the stat gsplat
         # collects with autograd hooks on means2d).
-        proj = Projected(
-            proj.means2d + offset2d, proj.conics, proj.depths,
-            proj.radii, proj.opacities, proj.valid,
-        )
+        proj = proj._replace(means2d=proj.means2d + offset2d)
         binning = build_tile_binning(
             proj, self.tile_config.tile_size, self.width, self.height,
             max_cover,
