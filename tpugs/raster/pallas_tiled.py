@@ -938,8 +938,15 @@ def _make_adjoint_kernel(ntx: int, ts: int, d_chunk: int, trans_eps: float, t_pa
             # the contribution IS the weight denominator Σ_p w(g,p) —
             # the reference's all-ones backward pass for free
             # (backproject.py:133-150).
+            # On the bf16 production path, cast w to bf16 too: a mixed
+            # f32 x bf16 dot upcasts and runs the MXU at the ~8x-slower
+            # f32 rate, and this matmul is the kernel's flop core. The
+            # f32 accumulate (preferred_element_type) keeps the extra
+            # error within the path's existing ~0.4% budget; the exact
+            # path (out_dtype=f32) keeps w in f32.
+            w_mm = w.astype(feats.dtype) if feats.dtype == jnp.bfloat16 else w
             contrib = jax.lax.dot_general(
-                w,
+                w_mm,
                 feats,
                 (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
