@@ -83,7 +83,7 @@ def _watchdog(budget_s):
 
 def _sizes_cache_key(args, tile):
     return (f"n{args.num_gaussians}_w{args.width}_h{args.height}"
-            f"_t{tile}_v{args.views}_s2")
+            f"_t{tile}_v{args.views}_s3")
 
 
 def _load_or_estimate_sizes(args, scene, cams, tile):
@@ -97,6 +97,9 @@ def _load_or_estimate_sizes(args, scene, cams, tile):
         if key in cache:
             d = dict(cache[key])
             d["cover_caps"] = tuple(d["cover_caps"])
+            d["classes"] = tuple(
+                (int(c), int(s)) for c, s in d.get("classes", ())
+            )
             return PallasSizes(**d)
     except (OSError, ValueError, TypeError):
         cache = {}
@@ -104,7 +107,8 @@ def _load_or_estimate_sizes(args, scene, cams, tile):
                                   tile_size=tile)
     try:
         cache[key] = {**sizes._asdict(),
-                      "cover_caps": list(sizes.cover_caps)}
+                      "cover_caps": list(sizes.cover_caps),
+                      "classes": [list(cs) for cs in sizes.classes]}
         with open(_SIZES_CACHE, "w") as fh:
             json.dump(cache, fh)
     except OSError:

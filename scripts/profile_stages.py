@@ -91,7 +91,11 @@ def main():
         ntx, nty = (W + args.tile - 1) // args.tile, (H + args.tile - 1) // args.tile
         n_tiles = ntx * nty
         n = scene.means.shape[0]
-        mc, cap_hi, LO = sizes.max_cover, sizes.cap_hi, sizes.lo_cover
+        from tpugs.raster.pallas_tiled import _normalize_classes
+        from tpugs.raster.binning import tile_cut_mask
+
+        mc = sizes.max_cover
+        classes = _normalize_classes(sizes.classes, n, mc)
 
         @jax.jit
         def stage_expand(means):
@@ -106,20 +110,32 @@ def main():
             cnt = (tx1 - tx0) * (ty1 - ty0)
             cover_rank = jnp.argsort(-cnt)
 
+            cut_r2 = proj.cut_r2[order]
+
             def expand(rows, slots_per):
                 r_w = jnp.maximum(tx1 - tx0, 1)[rows]
                 jj = jnp.arange(slots_per, dtype=jnp.int32)
                 jx = jj[None, :] % r_w[:, None]
                 jy = jj[None, :] // r_w[:, None]
                 sv = jj[None, :] < jnp.minimum(cnt[rows], slots_per)[:, None]
+                sv &= tile_cut_mask(
+                    m2d[rows], cut_r2[rows],
+                    tx0[rows][:, None] + jx, ty0[rows][:, None] + jy,
+                    args.tile,
+                )
                 t = (ty0[rows][:, None] + jy) * ntx + (tx0[rows][:, None] + jx)
                 t = jnp.where(sv, t, n_tiles).astype(jnp.int32)
                 g = jnp.where(sv, rows[:, None], n).astype(jnp.int32)
                 return t.reshape(-1), g.reshape(-1)
 
-            t_hi, g_hi = expand(cover_rank[:cap_hi], mc)
-            t_lo, g_lo = expand(cover_rank[cap_hi:], LO)
-            return jnp.concatenate([t_hi, t_lo]), jnp.concatenate([g_hi, g_lo])
+            tps, gps = [], []
+            off = 0
+            for c_cnt, c_slots in classes:
+                t_c, g_c = expand(cover_rank[off : off + c_cnt], c_slots)
+                tps.append(t_c)
+                gps.append(g_c)
+                off += c_cnt
+            return jnp.concatenate(tps), jnp.concatenate(gps)
 
         def f_expand(eps, means):
             m = means + (eps * jnp.uint32(0)).astype(jnp.float32)

@@ -225,7 +225,7 @@ def test_grouped_dispatch_matches_loop():
 
 
 def test_size_class_truncation_detected_and_safe():
-    """Undersized static buckets (cap_hi too small, lo_cover tiny) make
+    """Undersized static buckets (a tiny top class, 1-slot tail) make
     the size-classed expansion truncate high-cover Gaussians. The kernel
     path must stay safe (no crash, finite outputs), and the host-side
     audit (check_pallas_sizes, ADVICE r1) must flag the dropped entries
@@ -248,8 +248,9 @@ def test_size_class_truncation_detected_and_safe():
         T_padded=good.T_padded,
         cover_pad=good.cover_pad,
         cover_caps=good.cover_caps,
-        cap_hi=4,  # only 4 Gaussians keep full cover slots
-        lo_cover=1,  # everyone else truncated to ONE tile
+        # only 4 Gaussians keep full cover slots; everyone else is
+        # truncated to ONE tile
+        classes=((4, good.max_cover), (56, 1)),
     )
     worst = check_pallas_sizes(
         scene.means, scene.quats, scene.scales, scene.opacities,
@@ -304,8 +305,7 @@ def test_t_padded_clamp_no_crash():
         T_padded=512,  # below the ~1.5k entries this view needs
         cover_pad=good.cover_pad,
         cover_caps=good.cover_caps,
-        cap_hi=good.cap_hi,
-        lo_cover=good.lo_cover,
+        classes=good.classes,
     )
     worst = check_pallas_sizes(
         scene.means, scene.quats, scene.scales, scene.opacities,

@@ -84,8 +84,8 @@ class PallasPlan:
     T_padded: int = dataclasses.field(metadata=_STATIC, default=0)
     cover_pad: int = dataclasses.field(metadata=_STATIC, default=0)
     cover_caps: tuple = dataclasses.field(metadata=_STATIC, default=())
-    cap_hi: int = dataclasses.field(metadata=_STATIC, default=0)
-    lo_cover: int = dataclasses.field(metadata=_STATIC, default=8)
+    # ((count, slots), ...) descending slots; () = single class
+    classes: tuple = dataclasses.field(metadata=_STATIC, default=())
 
 
 # --------------------------------------------------------------- planning
@@ -166,6 +166,36 @@ def _sort_by_tile_rank(tid_flat, gid_flat, eidx, n, n_tiles,
     return tid_s, gid_s, eidx_s, tile_starts_full
 
 
+def _normalize_classes(classes, n, max_cover):
+    """Canonical size-class layout: ((count, slots), ...) with slots
+    strictly descending, counts summing to n, every count > 0, and the
+    first class at full max_cover slots (cover-rank order guarantees
+    the highest-cover Gaussians land there). () -> single class."""
+    if not classes or n <= 0:
+        return ((max(n, 0), max_cover),)
+    out = []
+    total = 0
+    for cnt, slots in classes:
+        cnt = min(int(cnt), n - total)
+        slots = max(1, min(int(slots), max_cover))
+        if cnt <= 0:
+            continue
+        if out and slots >= out[-1][1]:
+            slots = out[-1][1]  # enforce descending by merging
+        if out and out[-1][1] == slots:
+            out[-1] = (out[-1][0] + cnt, slots)
+        else:
+            out.append((cnt, slots))
+        total += cnt
+    if not out:
+        return ((n, max_cover),)
+    if total < n:  # tail class absorbs the remainder
+        out[-1] = (out[-1][0] + (n - total), out[-1][1])
+    if out[0][1] != max_cover:
+        out[0] = (out[0][0], max_cover)
+    return tuple(out)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -177,8 +207,7 @@ def _sort_by_tile_rank(tid_flat, gid_flat, eidx, n, n_tiles,
         "T_padded",
         "cover_pad",
         "cover_caps",
-        "cap_hi",
-        "lo_cover",
+        "classes",
     ),
 )
 def _plan_build(
@@ -191,8 +220,7 @@ def _plan_build(
     T_padded,
     cover_pad,
     cover_caps=(),
-    cap_hi=0,
-    lo_cover=8,
+    classes=(),
 ):
     n = proj.means2d.shape[0]
     ntx, nty = tile_grid(width, height, tile_size)
@@ -214,15 +242,14 @@ def _plan_build(
     w_safe = jnp.maximum(w, 1)
     cut_r2 = proj.cut_r2[order]
 
-    # ---- size-classed expansion: sort Gaussians by descending cover;
-    # the first H get max_cover slots, the rest lo_cover slots. The
-    # expansion entry index e encodes (class, row, j) so the slot table
-    # can be reassembled after the big sort.
+    # ---- size-classed expansion: sort Gaussians by descending cover
+    # and give each class of ranks only as many expansion slots as its
+    # covers need (the classes come from the maxed cover histogram with
+    # margins — see _choose_classes). The expansion entry index e
+    # encodes (class, row, j) so the slot table can be reassembled
+    # after the big sort.
     cover_rank = jnp.argsort(-cnt)
-    if cap_hi <= 0 or cap_hi >= n:
-        H_cls, LO = n, max_cover  # single class (legacy layout)
-    else:
-        H_cls, LO = cap_hi, min(lo_cover, max_cover)
+    classes = _normalize_classes(classes, n, max_cover)
 
     def expand(rows, slots_per):
         from tpugs.raster.binning import tile_cut_mask
@@ -235,8 +262,8 @@ def _plan_build(
         jx = jj[None, :] % r_w[:, None]
         jy = jj[None, :] // r_w[:, None]
         # truncation guard: entries beyond slots_per are dropped (the
-        # size estimation's cap_hi margin must cover all high-cover
-        # Gaussians; see estimate_pallas_sizes)
+        # size estimation's class-boundary margins must cover all
+        # high-cover Gaussians; see _choose_classes)
         sv = jj[None, :] < jnp.minimum(r_cnt, slots_per)[:, None]
         # Sub-cutoff tile cull (exact): bbox candidates whose whole tile
         # is below the 1/255 alpha clip become sentinels, shrinking the
@@ -251,15 +278,15 @@ def _plan_build(
         g = jnp.where(sv, rows[:, None], n).astype(jnp.int32)
         return t.reshape(-1), g.reshape(-1)
 
-    hi_rows = cover_rank[:H_cls]
-    tid_hi, gid_hi = expand(hi_rows, max_cover)
-    if H_cls < n:
-        lo_rows = cover_rank[H_cls:]
-        tid_lo, gid_lo = expand(lo_rows, LO)
-        tid_flat = jnp.concatenate([tid_hi, tid_lo])
-        gid_flat = jnp.concatenate([gid_hi, gid_lo])
-    else:
-        tid_flat, gid_flat = tid_hi, gid_hi
+    tid_parts, gid_parts = [], []
+    off = 0
+    for c_cnt, c_slots in classes:
+        t_c, g_c = expand(cover_rank[off : off + c_cnt], c_slots)
+        tid_parts.append(t_c)
+        gid_parts.append(g_c)
+        off += c_cnt
+    tid_flat = jnp.concatenate(tid_parts) if len(tid_parts) > 1 else tid_parts[0]
+    gid_flat = jnp.concatenate(gid_parts) if len(gid_parts) > 1 else gid_parts[0]
 
     eidx = jnp.arange(tid_flat.shape[0], dtype=jnp.int32)
     tid_s, gid_s, eidx_s, tile_starts_full = _sort_by_tile_rank(
@@ -282,19 +309,23 @@ def _plan_build(
     ).at[eidx_s].set(pos, unique_indices=True)
     # Reassemble per class: rows are already in cover_rank order, which
     # is exactly the cover-descending order the prefix reduction wants.
-    slots_hi = slots_flat[: H_cls * max_cover].reshape(H_cls, max_cover)
-    if H_cls < n:
-        slots_lo = slots_flat[H_cls * max_cover :].reshape(n - H_cls, LO)
-        slots_lo = jnp.concatenate(
-            [
-                slots_lo,
-                jnp.full((n - H_cls, max_cover - LO), T_padded, jnp.int32),
-            ],
-            axis=1,
-        )
-        slots = jnp.concatenate([slots_hi, slots_lo], axis=0)[:, :cover_pad]
-    else:
-        slots = slots_hi[:, :cover_pad]
+    slot_rows = []
+    pos0 = 0
+    for c_cnt, c_slots in classes:
+        s_c = slots_flat[pos0 : pos0 + c_cnt * c_slots].reshape(c_cnt, c_slots)
+        if c_slots < cover_pad:
+            s_c = jnp.concatenate(
+                [
+                    s_c,
+                    jnp.full((c_cnt, cover_pad - c_slots), T_padded, jnp.int32),
+                ],
+                axis=1,
+            )
+        slot_rows.append(s_c[:, :cover_pad])
+        pos0 += c_cnt * c_slots
+    slots = (
+        jnp.concatenate(slot_rows, axis=0) if len(slot_rows) > 1 else slot_rows[0]
+    )
     slot_order = order[cover_rank]  # row i of slots -> original Gaussian
 
     # Gaussian id per padded slot (block-padding slots -> sentinel N).
@@ -321,8 +352,7 @@ def _plan_build(
         T_padded=T_padded,
         cover_pad=cover_pad,
         cover_caps=tuple(cover_caps),
-        cap_hi=cap_hi,
-        lo_cover=lo_cover,
+        classes=classes,
     )
 
 
@@ -337,12 +367,13 @@ class PallasSizes(NamedTuple):
     # cover_caps[j]: static upper bound on #Gaussians covering > j tiles
     # (monotone nonincreasing). Lets the reduction gather only prefixes.
     cover_caps: tuple = ()
-    # Size-classed expansion: only the cap_hi highest-cover Gaussians get
-    # max_cover expansion slots; the rest get lo_cover slots. Shrinks the
-    # plan's sort/scatter volume ~2.5x (most Gaussians cover <= 4 tiles).
-    # cap_hi == 0 disables classing (everyone gets max_cover slots).
-    cap_hi: int = 0
-    lo_cover: int = 8
+    # Size-classed expansion ((count, slots), ... descending slots):
+    # the count highest-cover Gaussians get that many expansion slots.
+    # Chosen by a small DP on the cover histogram (_choose_classes) so
+    # the plan's sort/scatter volume tracks the real intersection count
+    # instead of count*max_cover (~2-4x smaller: most Gaussians cover
+    # <= 4 tiles). () disables classing (everyone gets max_cover).
+    classes: tuple = ()
 
 
 def estimate_pallas_sizes(
@@ -404,23 +435,76 @@ def estimate_pallas_sizes(
     # enforce monotone nonincreasing
     for j in range(1, max_cover):
         caps[j] = min(caps[j], caps[j - 1])
-    lo_cover = 8
-    if max_cover > lo_cover:
-        # Gaussians allowed more than lo_cover slots, with headroom: the
-        # classed expansion truncates any high-cover Gaussian beyond
-        # this count (same risk class as the T_padded margin).
-        over = hist[lo_cover] if lo_cover < len(hist) else 0
-        cap_hi = int(min(n, cdiv(max(int(over * 2.0), 1024), 1024) * 1024))
-    else:
-        cap_hi = 0
+    classes = _choose_classes(hist, n, max_cover)
     return PallasSizes(
         max_cover=max_cover,
         T_padded=T_padded,
         cover_pad=max_cover,
         cover_caps=tuple(caps),
-        cap_hi=cap_hi,
-        lo_cover=lo_cover,
+        classes=classes,
     )
+
+
+def _choose_classes(hist, n, max_cover, max_classes=8):
+    """Pick expansion size classes from the (view-maxed) cover
+    histogram: levels l_1 < ... < l_m = max_cover such that the
+    cover-rank prefix B(l) (the margin-padded count of Gaussians
+    covering more than l tiles) gets l_{i+1} slots, minimizing total
+    expansion entries sum_i (B(l_{i-1}) - B(l_i)) * l_i. Exact DP over
+    levels (max_cover is small). Margins:
+    2x for small classes, 1.35x for large ones, 1K rank granularity —
+    the audit (check_pallas_sizes) flags any view that outgrows them."""
+    hist = np.asarray(hist)
+    if n <= 0 or max_cover <= 1:
+        return ((max(n, 0), max(max_cover, 1)),)
+
+    def _raw_b(l):  # rank boundary: Gaussians with cover > l land before it
+        h = int(hist[l]) if l < len(hist) else 0
+        m = 2.0 if h <= 32768 else 1.35
+        return min(n, cdiv(max(int(np.ceil(h * m)), 1024), 1024) * 1024)
+
+    # Nonincreasing in l (the margin switch at 32768 could invert it).
+    b_arr = [0] * (max_cover + 1)
+    for l in range(max_cover, -1, -1):
+        b_arr[l] = _raw_b(l) if l < max_cover else 0
+        if l < max_cover:
+            b_arr[l] = max(b_arr[l], b_arr[l + 1])
+    b_arr[0] = n  # every Gaussian (even cover 0) occupies a class slot row
+    # b_arr[max_cover] = 0: the top class spans ranks [0, B(l_{m-1})) —
+    # nothing above max_cover is representable, so no headroom applies.
+
+    def B(l):
+        return b_arr[l] if l <= max_cover else 0
+    # g[l] = (entries, levels) to serve all Gaussians with cover > l
+    # using class levels strictly greater than l.
+    g = {max_cover: (0, ())}
+    for j in range(max_cover - 1, -1, -1):
+        best = None
+        for l in range(j + 1, max_cover + 1):
+            sub_cost, sub_levels = g[l]
+            if len(sub_levels) + 1 > max_classes:
+                continue
+            cost = (B(j) - B(l)) * l + sub_cost
+            # strict-improvement tie-break on level count: equal-B
+            # boundaries create zero-cost zero-width classes that would
+            # otherwise exhaust max_classes with useless levels
+            if (
+                best is None
+                or cost < best[0]
+                or (cost == best[0] and len(sub_levels) + 1 < len(best[1]))
+            ):
+                best = (cost, (l,) + sub_levels)
+        g[j] = best
+    levels = g[0][1]  # ascending
+    classes = []
+    upper = n  # B(l_0) with l_0 = 0: every Gaussian gets >= l_1 slots
+    for l in levels:
+        b = B(l)
+        if upper > b:
+            classes.append((upper - b, l))
+        upper = b
+    classes.reverse()  # descending slots, counts sum to n
+    return tuple(classes)
 
 
 @functools.partial(
@@ -431,8 +515,8 @@ def _size_requirements_jit(proj: Projected, tile_size, width, height, sizes):
 
     Returns (kept_entries, dropped_entries): dropped_entries counts
     expansion slots the size-classed plan would silently truncate —
-    covers beyond max_cover, low-class Gaussians beyond lo_cover, or
-    high-cover Gaussians beyond the cap_hi class size."""
+    covers beyond max_cover or beyond the Gaussian's rank class's slot
+    count."""
     from tpugs.raster.binning import tile_bbox
 
     ntx, nty = tile_grid(width, height, tile_size)
@@ -441,18 +525,22 @@ def _size_requirements_jit(proj: Projected, tile_size, width, height, sizes):
     )
     cnt = (tx1 - tx0) * (ty1 - ty0)
     n = cnt.shape[0]
-    if sizes.cap_hi <= 0 or sizes.cap_hi >= n:
-        caps = jnp.full((n,), sizes.max_cover, jnp.int32)
+    classes = _normalize_classes(sizes.classes, n, sizes.max_cover)
+    if len(classes) == 1:
+        caps = jnp.full((n,), classes[0][1], jnp.int32)
     else:
         cover_rank = jnp.argsort(-cnt)
         rank_of = jnp.zeros((n,), jnp.int32).at[cover_rank].set(
             jnp.arange(n, dtype=jnp.int32)
         )
-        caps = jnp.where(
-            rank_of < sizes.cap_hi,
-            sizes.max_cover,
-            min(sizes.lo_cover, sizes.max_cover),
+        bounds = np.cumsum([c for c, _ in classes])  # class upper ranks
+        slots_per_class = jnp.asarray(
+            [s for _, s in classes], dtype=jnp.int32
         )
+        cls_idx = jnp.searchsorted(
+            jnp.asarray(bounds, dtype=jnp.int32), rank_of, side="right"
+        )
+        caps = slots_per_class[jnp.minimum(cls_idx, len(classes) - 1)]
     kept = jnp.minimum(cnt, caps)
     dropped = jnp.sum(cnt - kept)
     return jnp.sum(kept), dropped
@@ -563,8 +651,7 @@ def build_plan_pure(
         sizes.T_padded,
         sizes.cover_pad,
         sizes.cover_caps,
-        sizes.cap_hi,
-        sizes.lo_cover,
+        sizes.classes,
     )
 
 
