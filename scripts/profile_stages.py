@@ -278,6 +278,15 @@ def main():
         return reduce_contribs(cc, plan)
 
     t_red = measure(f_red, contribs, iters=it, name="reduce", verbose=True)
+
+    # A/B: unique-indices scatter instead of the inverse-permutation
+    # gather for the final (N, D) unpermute inside the reduce.
+    def f_red_scatter(eps, c):
+        cc = c + (eps * jnp.uint32(0)).astype(jnp.bfloat16)
+        return reduce_contribs(cc, plan, unpermute="scatter")
+
+    measure(f_red_scatter, contribs, iters=it,
+            name="reduce(unpermute=scatter)", verbose=True)
     del contribs
 
     # full fused single view

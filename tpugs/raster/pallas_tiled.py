@@ -1159,6 +1159,7 @@ def adjoint_pallas_raw(
 def reduce_contribs(
     contribs: jax.Array,  # (T_padded + BLOCK, D)
     plan: PallasPlan,
+    unpermute: str = "gather",  # or "scatter" (A/B hook, see below)
 ) -> jax.Array:
     """Per-Gaussian sums via the slot-table gather (no scatter).
     Returns (N, D) in ORIGINAL Gaussian order.
@@ -1231,6 +1232,15 @@ def reduce_contribs(
             acc = part if cap == n else jnp.pad(part, ((0, n - cap), (0, 0)))
         else:
             acc = acc.at[:cap, :].add(part)
+    if unpermute == "scatter":
+        # A/B alternative: unique-indices scatter instead of the inverse
+        # gather. Scatters with unique_indices lower well on TPU (the
+        # plan's two scatters beat a sort-back by 1.7x, BASELINE.md);
+        # whether that holds for (N, D) rows is measured on chip by
+        # scripts/profile_stages.py --reduce-unpermute.
+        return jnp.zeros((n, D), acc.dtype).at[plan.slot_order].set(
+            acc, unique_indices=True
+        )
     inv = jnp.zeros((n,), jnp.int32).at[plan.slot_order].set(
         jnp.arange(n, dtype=jnp.int32)
     )
