@@ -1375,6 +1375,13 @@ def backproject_view_pallas(
             trans_eps=trans_eps,
             out_dtype=contrib_dtype,
         )
+        # Only the kernel needs the lane-aligned channel pad; slicing
+        # the zero columns off before the reduce cuts the slot-table
+        # gather's bytes by the pad fraction (~20% at D=512, d_chunk
+        # 640: 513 real channels).
+        real = min(d_chunk, D + 1 - c0)
+        if real < d_chunk:
+            contribs = jax.lax.slice_in_dim(contribs, 0, real, axis=1)
         feat_parts.append(reduce_contribs(contribs, plan))
     all_sums = jnp.concatenate(feat_parts, axis=-1)
     weight_sums = all_sums[:, 0]
