@@ -42,6 +42,12 @@ def main(argv=None):
     ap.add_argument("--retries", type=int, default=10)
     ap.add_argument("--backoff-s", type=float, default=30.0,
                     help="wait for the TPU worker to come back")
+    ap.add_argument("--budget-s", type=float, default=0.0,
+                    help="wall-clock budget: when exceeded, terminate "
+                         "the run cleanly (progress persists in the "
+                         "latest full_*.npz; only one process may hold "
+                         "the TPU, so a bounded run frees it for "
+                         "benchmarks). 0 = unlimited")
     ap.add_argument("train_args", nargs=argparse.REMAINDER,
                     help="-- then tpugs.apps.train arguments")
     args = ap.parse_args(argv)
@@ -57,6 +63,7 @@ def main(argv=None):
     if result_dir is None:
         ap.error("--result-dir must be present in the train arguments")
 
+    deadline = time.time() + args.budget_s if args.budget_s > 0 else None
     attempt = 0
     while True:
         cmd = [sys.executable, "-m", "tpugs.apps.train", *train_args]
@@ -65,7 +72,23 @@ def main(argv=None):
             cmd += ["--resume", ckpt]
         print(f"[supervisor] attempt {attempt}: {' '.join(cmd)}",
               flush=True)
-        rc = subprocess.call(cmd)
+        proc = subprocess.Popen(cmd)
+        try:
+            remaining = None if deadline is None else deadline - time.time()
+            if remaining is not None and remaining <= 0:
+                raise subprocess.TimeoutExpired(cmd, 0)
+            rc = proc.wait(timeout=remaining)
+        except subprocess.TimeoutExpired:
+            print("[supervisor] budget exhausted; terminating child "
+                  f"(pid {proc.pid}) — latest checkpoint: "
+                  f"{latest_full_ckpt(result_dir)}", flush=True)
+            proc.terminate()
+            try:
+                proc.wait(timeout=60)
+            except subprocess.TimeoutExpired:
+                proc.kill()
+                proc.wait()
+            return 0
         if rc == 0:
             print("[supervisor] training completed", flush=True)
             return 0
@@ -73,6 +96,10 @@ def main(argv=None):
         if attempt > args.retries:
             print(f"[supervisor] giving up after {args.retries} retries "
                   f"(last rc={rc})", flush=True)
+            return rc
+        if deadline is not None and time.time() >= deadline:
+            print("[supervisor] budget exhausted after crash; stopping",
+                  flush=True)
             return rc
         print(f"[supervisor] rc={rc}; resuming from "
               f"{latest_full_ckpt(result_dir) or 'scratch'} in "
