@@ -493,3 +493,34 @@ def test_multiclass_plan_matches_single_class():
     np.testing.assert_allclose(
         outs["multi"][1], outs["single"][1], atol=1e-6
     )
+
+
+def test_choose_classes_properties():
+    """_choose_classes: counts sum to n, slots strictly descending,
+    top class serves max_cover, and every Gaussian with cover > l ranks
+    inside a class with slots > l (the margin-padded boundary rule)."""
+    from tpugs.raster.pallas_tiled import _choose_classes
+
+    rng = np.random.default_rng(0)
+    for trial in range(20):
+        n = int(rng.integers(1, 800_000))
+        mc = int(rng.integers(2, 48))
+        # random nonincreasing histogram
+        h = np.sort(rng.integers(0, n + 1, size=mc))[::-1]
+        cls = _choose_classes(h, n, mc)
+        counts = [c for c, _ in cls]
+        slots = [s for _, s in cls]
+        assert sum(counts) == n, (trial, cls, n)
+        assert all(c > 0 for c in counts)
+        assert slots == sorted(slots, reverse=True)
+        assert slots[0] == mc
+        # boundary rule: for each level l = slots[i] of a lower class,
+        # all Gaussians with cover > l (hist[l]) must rank before the
+        # cumulative count of higher classes.
+        cum = 0
+        for i, (c, s) in enumerate(cls):
+            if i > 0:
+                l = s  # gaussians with cover > s need a higher class
+                need = int(h[l]) if l < len(h) else 0
+                assert cum >= need, (trial, cls, l, need, cum)
+            cum += c
