@@ -772,11 +772,16 @@ def _shift_one(x):
     return jnp.where(lane < 1, 1.0, s)
 
 
-def _block_weights(geom, px_x, px_y, trans, lane_valid):
-    """Blend weights for one block.
+def _block_weights_full(geom, px_x, px_y, trans, lane_valid):
+    """Blend weights for one block, plus the internals the training
+    backward needs (exact mirror of naive.evaluate_alpha semantics).
 
     geom: (8, BLOCK) transposed params; px_x/px_y: (tspx, 1);
-    trans: (tspx, 1) carry. Returns (w (tspx, BLOCK), new_trans)."""
+    trans: (tspx, 1) carry. Returns a dict with:
+      w (tspx, BLOCK), new_trans (tspx, 1), alpha, texc,
+      e (exp(-max(sigma,0))), grad_mask (VJP mask of the alpha
+      clip chain: lane_valid & sigma>=0 & alpha_raw>=MIN & <MAX).
+    """
     mx = geom[0:1, :]
     my = geom[1:2, :]
     ca = geom[2:3, :]
@@ -786,17 +791,37 @@ def _block_weights(geom, px_x, px_y, trans, lane_valid):
     dx = px_x - mx  # (tspx, BLOCK)
     dy = px_y - my
     sigma = 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
-    alpha = op * jnp.exp(-jnp.maximum(sigma, 0.0))
-    alpha = jnp.minimum(alpha, ALPHA_MAX)
-    alpha = jnp.where(sigma >= 0.0, alpha, 0.0)
-    alpha = jnp.where(alpha >= ALPHA_MIN, alpha, 0.0)
-    alpha = jnp.where(lane_valid, alpha, 0.0)
+    e = jnp.exp(-jnp.maximum(sigma, 0.0))
+    alpha_raw = op * e
+    alpha = jnp.minimum(alpha_raw, ALPHA_MAX)
+    keep = (
+        (sigma >= 0.0)
+        & (jnp.where(sigma >= 0.0, alpha, 0.0) >= ALPHA_MIN)
+        & lane_valid
+    )
+    alpha = jnp.where(keep, alpha, 0.0)
     om = 1.0 - alpha
     inclusive = _lane_prefix_prod(om)
     texc = _shift_one(inclusive)
     w = alpha * texc * trans
     new_trans = trans * inclusive[:, BLOCK - 1 :]
-    return w, new_trans
+    # d(alpha)/d(alpha_raw) chain: the min() blocks gradient above
+    # ALPHA_MAX; sigma<0 / sub-MIN / lane pads are zeroed by `keep`.
+    # (The max(sigma, 0) inside exp additionally gates d/d_sigma with
+    # sigma > 0 — applied by the caller, NOT here, because d/d_opacity
+    # has no such gate.)
+    grad_mask = keep & (alpha_raw < ALPHA_MAX)
+    return dict(
+        w=w, new_trans=new_trans, alpha=alpha, texc=texc, e=e,
+        grad_mask=grad_mask, sigma=sigma, dx=dx, dy=dy,
+    )
+
+
+def _block_weights(geom, px_x, px_y, trans, lane_valid):
+    """Blend weights for one block (forward-only view of
+    :func:`_block_weights_full`)."""
+    full = _block_weights_full(geom, px_x, px_y, trans, lane_valid)
+    return full["w"], full["new_trans"]
 
 
 def _tile_pixels(t, ntx: int, ts: int, tspx: int):
