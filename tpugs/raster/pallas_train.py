@@ -1,0 +1,620 @@
+"""Pallas TPU training path: wide-channel forward render + the full
+geometric backward (dL/d{means2d, conics, opacities, colors}) as fused
+kernels, wrapped in a recompute ``jax.custom_vjp``.
+
+Why this exists: the trainer differentiates through the pure-JAX tiled
+renderer (``tiled.py``), whose recompute VJP is correct but HBM-bound —
+every (tiles, block, pixels) intermediate round-trips to HBM and the
+per-Gaussian scatter-add serializes (the same pathology the lift path
+escaped with ``pallas_tiled.py``). The reference trains by double
+rasterization + autograd through gsplat's CUDA backward
+(``/root/reference/f3dgs/simple_trainer_feature_3dgs.py:442-487,646``);
+here the backward is its own Pallas kernel:
+
+  * forward: per-tile double-buffered DMA of an 8-row geometry pack and
+    a (D_pad, BLOCK) transposed color pack; blend weights on the VPU
+    (lane-prefix transmittance), channel accumulation as ONE MXU matmul
+    per block — D-channel rendering (RGB + depth + feature channels in
+    one pass) instead of ``pallas_tiled``'s 4-channel lane reductions;
+  * backward: re-walks the same blocks front-to-back (recompute — no
+    saved interiors), reconstructs the blend state with the *identical*
+    ``_block_weights_full`` math, and applies the analytic compositing
+    adjoint of ``tiled.py::_render_core_bwd``:
+
+        u_b      = sum_d g_d c_bd                      (MXU)
+        dL/dα_b  = T·texc_b·u_b − (V_b + h·T_fin)/(1−α_b)
+        dL/dc_b  = sum_p w_b(p) g(p)                   (MXU)
+
+    then chains through the alpha clip semantics (shared ``grad_mask``)
+    to per-intersection [dmx, dmy, dca, dcb, dcc, dop] rows, written
+    alongside the color-gradient rows to the block-padded contribution
+    layout — the per-Gaussian reduction reuses the scatter-free
+    slot-table gather (``reduce_contribs``).
+
+Gradient identity is pinned against ``jax.grad`` of the pure-JAX tiled
+renderer (tests/test_pallas_train.py), which itself is pinned against
+the naive dense oracle.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpugs.raster.adjoint import image_to_tiles
+from tpugs.raster.binning import cdiv, tile_grid
+from tpugs.raster.pallas_tiled import (
+    BLOCK,
+    TRANS_EPS,
+    PallasPlan,
+    _block_weights,
+    _block_weights_full,
+    _tile_pixels,
+    reduce_contribs,
+    tiles_to_image,
+)
+
+GEOM_ROWS = 8  # [mx, my, conic_a, conic_b, conic_c, opacity, 0, 0]
+
+
+def _d_pad_of(D: int) -> int:
+    """Channel padding: multiples of 8 sublanes for the transposed color
+    pack; full 128-lane tiles only once D is large enough to use them."""
+    return max(8, cdiv(D, 8) * 8)
+
+
+def _lane_prefix_sum(x):
+    """Inclusive cumsum along the lane axis (width 128) via 7 doubling
+    steps of roll+mask-add (additive twin of ``_lane_prefix_prod``)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    p = x
+    for k in (1, 2, 4, 8, 16, 32, 64):
+        shifted = pltpu.roll(p, k, 1)
+        shifted = jnp.where(lane < k, 0.0, shifted)
+        p = p + shifted
+    return p
+
+
+def pack_train(means2d, conics, opacities, colors, plan: PallasPlan):
+    """Per-intersection packs in ORIGINAL-order inputs:
+    geometry (8, T_padded) + transposed colors (D_pad, T_padded).
+
+    Same single-gather rationale as ``pack_isect_all`` (the TPU row
+    gather is row-rate-bound): one merged (8 + D_pad)-row gather, then
+    split — geometry and colors land as separate lane-aligned tables so
+    the kernels can run independent DMA queues."""
+    n, D = colors.shape
+    d_pad = _d_pad_of(D)
+    zeros = jnp.zeros_like(opacities)
+    cols = colors
+    if D != d_pad:
+        cols = jnp.pad(colors, ((0, 0), (0, d_pad - D)))
+    packed = jnp.concatenate(
+        [
+            means2d[:, 0:1],
+            means2d[:, 1:2],
+            conics,
+            opacities[:, None],
+            zeros[:, None],
+            zeros[:, None],
+            cols,
+        ],
+        axis=1,
+    )[plan.order]  # (N, 8 + d_pad) in depth order — padded_gid indexes
+    #                the depth-sorted table (see pack_isect_all)
+    dummy = jnp.zeros((1, GEOM_ROWS + d_pad), packed.dtype)
+    packed = jnp.concatenate([packed, dummy], axis=0)
+    packed_t = jnp.transpose(packed[plan.padded_gid])  # (8+d_pad, T_padded)
+    return packed_t[:GEOM_ROWS], packed_t[GEOM_ROWS:]
+
+
+# ------------------------------------------------------------ forward
+
+
+def _make_fwd_kernel(ntx: int, ts: int, d_pad: int, trans_eps: float,
+                     t_padded: int):
+    tspx = ts * ts
+
+    def kernel(
+        starts_ref,
+        ends_ref,
+        pstarts_ref,
+        geom_hbm,  # (8, T_padded)
+        cols_hbm,  # (d_pad, T_padded)
+        img_ref,  # (1, tspx, d_pad + 1) VMEM block
+        gbuf,
+        cbuf,
+        gsem,
+        csem,
+    ):
+        t = pl.program_id(0)
+        start = starts_ref[t]
+        end = ends_ref[t]
+        pstart = pl.multiple_of(pstarts_ref[t], BLOCK)
+        nb = (end - start + BLOCK - 1) // BLOCK
+        # Safety clamp (see pallas_tiled render kernel): truncate rather
+        # than DMA out of bounds if the static T_padded underestimated.
+        nb = jnp.minimum(nb, (t_padded - pstart) // BLOCK)
+        px_x, px_y = _tile_pixels(t, ntx, ts, tspx)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (tspx, BLOCK), 1)
+
+        def fetch(slot, b):
+            off = pl.multiple_of(pstart + b * BLOCK, BLOCK)
+            pltpu.make_async_copy(
+                geom_hbm.at[:, pl.ds(off, BLOCK)], gbuf.at[slot], gsem.at[slot]
+            ).start()
+            pltpu.make_async_copy(
+                cols_hbm.at[:, pl.ds(off, BLOCK)], cbuf.at[slot], csem.at[slot]
+            ).start()
+
+        def wait(slot, b):
+            off = pl.multiple_of(pstart + b * BLOCK, BLOCK)
+            pltpu.make_async_copy(
+                geom_hbm.at[:, pl.ds(off, BLOCK)], gbuf.at[slot],
+                gsem.at[slot],
+            ).wait()
+            pltpu.make_async_copy(
+                cols_hbm.at[:, pl.ds(off, BLOCK)], cbuf.at[slot],
+                csem.at[slot],
+            ).wait()
+
+        @pl.when(nb > 0)
+        def _():
+            fetch(0, 0)
+
+        def cond(carry):
+            b, _, max_t = carry
+            return jnp.logical_and(b < nb, max_t > trans_eps)
+
+        def body(carry):
+            b, img_trans, _ = carry
+            img, trans = img_trans
+            slot = jax.lax.rem(b, 2)
+
+            @pl.when(b + 1 < nb)
+            def _():
+                fetch(1 - slot, b + 1)
+
+            wait(slot, b)
+            remaining = end - start - b * BLOCK
+            lane_valid = lane < remaining
+            w, trans = _block_weights(gbuf[slot], px_x, px_y, trans, lane_valid)
+            # img (tspx, d_pad) += w (tspx, BLOCK) @ cols (BLOCK, d_pad):
+            # cols arrive transposed (d_pad, BLOCK) so the DMA lane dim is
+            # the aligned BLOCK axis; contract both lane dims on the MXU.
+            img = img + jax.lax.dot_general(
+                w,
+                cbuf[slot],
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return b + 1, (img, trans), jnp.max(trans)
+
+        img0 = jnp.zeros((tspx, d_pad), jnp.float32)
+        trans0 = jnp.ones((tspx, 1), jnp.float32)
+        b_stop, (img, trans), _ = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), (img0, trans0), jnp.float32(1.0))
+        )
+        # Drain the in-flight prefetch on early exit (semaphore hygiene).
+        @pl.when(b_stop < nb)
+        def _():
+            wait(jax.lax.rem(b_stop, 2), b_stop)
+
+        img_ref[0, :, :d_pad] = img
+        img_ref[0, :, d_pad:] = 1.0 - trans  # alpha channel
+
+    return kernel
+
+
+def _forward_tiles(geom, cols, plan: PallasPlan, d_pad: int,
+                   interpret: bool, trans_eps: float):
+    ntx, nty = tile_grid(plan.width, plan.height, plan.tile_size)
+    n_tiles = ntx * nty
+    ts = plan.tile_size
+    tspx = ts * ts
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, tspx, d_pad + 1), lambda t, *_: (t, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, GEOM_ROWS, BLOCK), jnp.float32),
+            pltpu.VMEM((2, d_pad, BLOCK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        _make_fwd_kernel(ntx, ts, d_pad, trans_eps, plan.T_padded),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, tspx, d_pad + 1), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(plan.tile_starts, plan.tile_ends, plan.padded_starts, geom, cols)
+
+
+def _forward_impl(means2d, conics, opacities, colors, background,
+                  plan: PallasPlan, interpret: bool, trans_eps: float):
+    D = colors.shape[-1]
+    d_pad = _d_pad_of(D)
+    geom, cols = pack_train(means2d, conics, opacities, colors, plan)
+    tiles = _forward_tiles(geom, cols, plan, d_pad, interpret, trans_eps)
+    full = tiles_to_image(tiles, plan.width, plan.height, plan.tile_size)
+    image = full[..., :D]
+    alpha = full[..., d_pad]
+    if background is not None:
+        image = image + (1.0 - alpha)[..., None] * background[None, None, :]
+    return image, alpha
+
+
+# ------------------------------------------------------------ backward
+
+
+def _make_bwd_kernel(ntx: int, ts: int, d_pad: int, d_aug: int, d_out: int,
+                     trans_eps: float, t_padded: int):
+    tspx = ts * ts
+
+    def kernel(
+        starts_ref,
+        ends_ref,
+        pstarts_ref,
+        geom_hbm,  # (8, T_padded)
+        cols_hbm,  # (d_pad, T_padded)
+        gaug_ref,  # (1, tspx, d_aug): [g | hterm | grem0 | pad] per tile
+        contrib_hbm,  # (T_padded + BLOCK, d_out) ANY
+        gbuf,
+        cbuf,
+        obuf,
+        gsem,
+        csem,
+        osem,
+    ):
+        t = pl.program_id(0)
+        start = starts_ref[t]
+        end = ends_ref[t]
+        pstart = pl.multiple_of(pstarts_ref[t], BLOCK)
+        nb = (end - start + BLOCK - 1) // BLOCK
+        nb = jnp.minimum(nb, (t_padded - pstart) // BLOCK)
+        px_x, px_y = _tile_pixels(t, ntx, ts, tspx)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (tspx, BLOCK), 1)
+
+        g_tile = gaug_ref[0][:, :d_pad]  # (tspx, d_pad)
+        hterm = gaug_ref[0][:, d_pad : d_pad + 1]  # (tspx, 1) = h . T_fin
+        grem0 = gaug_ref[0][:, d_pad + 1 : d_pad + 2]  # (tspx, 1)
+        ones_col = jnp.ones((tspx, 1), jnp.float32)
+
+        def fetch(slot, b):
+            off = pl.multiple_of(pstart + b * BLOCK, BLOCK)
+            pltpu.make_async_copy(
+                geom_hbm.at[:, pl.ds(off, BLOCK)], gbuf.at[slot], gsem.at[slot]
+            ).start()
+            pltpu.make_async_copy(
+                cols_hbm.at[:, pl.ds(off, BLOCK)], cbuf.at[slot], csem.at[slot]
+            ).start()
+
+        def wait_in(slot, b):
+            off = pl.multiple_of(pstart + b * BLOCK, BLOCK)
+            pltpu.make_async_copy(
+                geom_hbm.at[:, pl.ds(off, BLOCK)], gbuf.at[slot],
+                gsem.at[slot],
+            ).wait()
+            pltpu.make_async_copy(
+                cols_hbm.at[:, pl.ds(off, BLOCK)], cbuf.at[slot],
+                csem.at[slot],
+            ).wait()
+
+        def out_dma(slot, b):
+            off = pl.multiple_of(pstart + b * BLOCK, BLOCK)
+            return pltpu.make_async_copy(
+                obuf.at[slot],
+                contrib_hbm.at[pl.ds(off, BLOCK), :],
+                osem.at[slot],
+            )
+
+        @pl.when(nb > 0)
+        def _():
+            fetch(0, 0)
+
+        def cond(carry):
+            b, _, _, max_t = carry
+            return jnp.logical_and(b < nb, max_t > trans_eps)
+
+        def body(carry):
+            b, trans, grem, _ = carry
+            slot = jax.lax.rem(b, 2)
+
+            @pl.when(b + 1 < nb)
+            def _():
+                fetch(1 - slot, b + 1)
+
+            wait_in(slot, b)
+            remaining = end - start - b * BLOCK
+            lane_valid = lane < remaining
+            full = _block_weights_full(
+                gbuf[slot], px_x, px_y, trans, lane_valid
+            )
+            w = full["w"]
+
+            # u_b(p) = sum_d g_d(p) c_bd  (MXU: contract channels)
+            u = jax.lax.dot_general(
+                g_tile,
+                cbuf[slot],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (tspx, BLOCK)
+            wu = w * u
+            cs = _lane_prefix_sum(wu)  # inclusive along lanes
+            v = grem - cs  # suffix contribution strictly after each lane
+            one_minus = jnp.maximum(1.0 - full["alpha"], 1e-6)
+            d_alpha = full["texc"] * trans * u - (v + hterm) / one_minus
+
+            # Chain through the alpha clip semantics (grad_mask mirrors
+            # autodiff of evaluate_alpha; see _block_weights_full).
+            d_araw = jnp.where(full["grad_mask"], d_alpha, 0.0)
+            e = full["e"]
+            op = gbuf[slot][5:6, :]
+            d_op_px = d_araw * e  # (tspx, BLOCK)
+            d_sig = -d_araw * op * e
+            d_sig = jnp.where(full["sigma"] > 0.0, d_sig, 0.0)
+            dx = full["dx"]
+            dy = full["dy"]
+            ca = gbuf[slot][2:3, :]
+            cb = gbuf[slot][3:4, :]
+            cc = gbuf[slot][4:5, :]
+
+            def col(x):  # sum over pixels -> (BLOCK, 1) column (MXU)
+                return jax.lax.dot_general(
+                    x,
+                    ones_col,
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+
+            geom_grads = jnp.concatenate(
+                [
+                    col(d_sig * -(ca * dx + cb * dy)),  # d means2d.x
+                    col(d_sig * -(cc * dy + cb * dx)),  # d means2d.y
+                    col(d_sig * (0.5 * dx * dx)),  # d conic.a
+                    col(d_sig * (dx * dy)),  # d conic.b
+                    col(d_sig * (0.5 * dy * dy)),  # d conic.c
+                    col(d_op_px),  # d opacity
+                    jnp.zeros((BLOCK, 2), jnp.float32),
+                ],
+                axis=1,
+            )  # (BLOCK, 8)
+
+            # dL/dc_b = sum_p w_b(p) g(p)  (MXU: contract pixels)
+            d_col = jax.lax.dot_general(
+                w,
+                g_tile,
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (BLOCK, d_pad)
+
+            @pl.when(b >= 2)
+            def _():
+                out_dma(slot, b - 2).wait()
+
+            obuf[slot] = jnp.concatenate([d_col, geom_grads], axis=1)
+            out_dma(slot, b).start()
+
+            trans_new = full["new_trans"]
+            grem_new = grem - cs[:, BLOCK - 1 :]
+            return b + 1, trans_new, grem_new, jnp.max(trans_new)
+
+        trans0 = jnp.ones((tspx, 1), jnp.float32)
+        b_stop, _, _, _ = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), trans0, grem0, jnp.float32(1.0))
+        )
+
+        # Drain the in-flight prefetch on early exit.
+        @pl.when(b_stop < nb)
+        def _():
+            wait_in(jax.lax.rem(b_stop, 2), b_stop)
+
+        # Zero-fill blocks skipped by early exit (their true per-pixel
+        # weights are < trans_eps) so the padded layout stays dense.
+        def zcond(carry):
+            return carry[0] < nb
+
+        def zbody(carry):
+            b, _ = carry
+            slot = jax.lax.rem(b, 2)
+
+            @pl.when(b >= 2)
+            def _():
+                out_dma(slot, b - 2).wait()
+
+            obuf[slot] = jnp.zeros((BLOCK, d_out), jnp.float32)
+            out_dma(slot, b).start()
+            return b + 1, 0
+
+        jax.lax.while_loop(zcond, zbody, (b_stop, 0))
+
+        @pl.when(nb >= 2)
+        def _():
+            out_dma(jax.lax.rem(nb - 2, 2), nb - 2).wait()
+
+        @pl.when(nb >= 1)
+        def _():
+            out_dma(jax.lax.rem(nb - 1, 2), nb - 1).wait()
+
+        # Tile 0 zeroes the dummy block at T_padded (unused slot-table
+        # entries gather exact zeros — same trick as the adjoint kernel).
+        @pl.when(t == 0)
+        def _():
+            obuf[0] = jnp.zeros((BLOCK, d_out), jnp.float32)
+            dma = pltpu.make_async_copy(
+                obuf.at[0],
+                contrib_hbm.at[pl.ds(t_padded, BLOCK), :],
+                osem.at[0],
+            )
+            dma.start()
+            dma.wait()
+
+    return kernel
+
+
+def _backward_impl(means2d, conics, opacities, colors, background,
+                   plan: PallasPlan, interpret: bool, trans_eps: float,
+                   image, alpha, g_image, g_alpha):
+    H, W = plan.height, plan.width
+    D = colors.shape[-1]
+    d_pad = _d_pad_of(D)
+    d_aug = d_pad + 8
+    d_out = d_pad + 8
+
+    transs = 1.0 - alpha  # final per-pixel transmittance (H, W)
+    hp = jax.lax.Precision.HIGHEST
+    h = -g_alpha
+    d_bg = None
+    if background is not None:
+        h = h + jnp.einsum("hwd,d->hw", g_image, background, precision=hp)
+        d_bg = jnp.einsum("hw,hwd->d", transs, g_image, precision=hp)
+        img_nobg = image - transs[..., None] * background[None, None, :]
+    else:
+        img_nobg = image
+    hterm = h * transs
+    grem0 = jnp.einsum("hwd,hwd->hw", g_image, img_nobg, precision=hp)
+
+    g_pad = g_image
+    if D != d_pad:
+        g_pad = jnp.pad(g_image, ((0, 0), (0, 0), (0, d_pad - D)))
+    aug = jnp.concatenate(
+        [
+            g_pad,
+            hterm[..., None],
+            grem0[..., None],
+            jnp.zeros((H, W, d_aug - d_pad - 2), jnp.float32),
+        ],
+        axis=-1,
+    )
+    gaug_tiles = image_to_tiles(aug, plan.tile_size)
+
+    geom, cols = pack_train(means2d, conics, opacities, colors, plan)
+
+    ntx, nty = tile_grid(W, H, plan.tile_size)
+    n_tiles = ntx * nty
+    ts = plan.tile_size
+    tspx = ts * ts
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, tspx, d_aug), lambda t, *_: (t, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, GEOM_ROWS, BLOCK), jnp.float32),
+            pltpu.VMEM((2, d_pad, BLOCK), jnp.float32),
+            pltpu.VMEM((2, BLOCK, d_out), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    contribs = pl.pallas_call(
+        _make_bwd_kernel(
+            ntx, ts, d_pad, d_aug, d_out, trans_eps, plan.T_padded
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (plan.T_padded + BLOCK, d_out), jnp.float32
+        ),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(
+        plan.tile_starts, plan.tile_ends, plan.padded_starts,
+        geom, cols, gaug_tiles,
+    )
+
+    sums = reduce_contribs(contribs, plan)  # (N, d_out), original order
+    d_col = sums[:, :D]
+    gg = sums[:, d_pad:]
+    d_m2d = gg[:, 0:2]
+    d_con = gg[:, 2:5]
+    d_opa = gg[:, 5]
+    return d_m2d, d_con, d_opa, d_col, d_bg
+
+
+# -------------------------------------------------------- custom VJP
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def _train_core(means2d, conics, opacities, colors, background, plan,
+                interpret, trans_eps):
+    return _forward_impl(
+        means2d, conics, opacities, colors, background, plan,
+        interpret, trans_eps,
+    )
+
+
+def _train_core_fwd(means2d, conics, opacities, colors, background, plan,
+                    interpret, trans_eps):
+    out = _forward_impl(
+        means2d, conics, opacities, colors, background, plan,
+        interpret, trans_eps,
+    )
+    image, alpha = out
+    res = (means2d, conics, opacities, colors, background, plan,
+           image, alpha)
+    return out, res
+
+
+def _train_core_bwd(interpret, trans_eps, res, cots):
+    (means2d, conics, opacities, colors, background, plan,
+     image, alpha) = res
+    g_image, g_alpha = cots
+    d_m2d, d_con, d_opa, d_col, d_bg = _backward_impl(
+        means2d, conics, opacities, colors, background, plan,
+        interpret, trans_eps, image, alpha, g_image, g_alpha,
+    )
+
+    def int_zero(x):
+        return np.zeros(x.shape, jax.dtypes.float0)
+
+    plan_zeros = jax.tree_util.tree_map(int_zero, plan)
+    return (
+        d_m2d.astype(means2d.dtype),
+        d_con.astype(conics.dtype),
+        d_opa.astype(opacities.dtype),
+        d_col.astype(colors.dtype),
+        None if background is None else d_bg.astype(background.dtype),
+        plan_zeros,
+    )
+
+
+_train_core.defvjp(_train_core_fwd, _train_core_bwd)
+
+
+def render_plan_train(
+    means2d: jax.Array,  # (N, 2) ORIGINAL order (plan holds depth order)
+    conics: jax.Array,  # (N, 3)
+    opacities: jax.Array,  # (N,) validity-masked
+    colors: jax.Array,  # (N, D) — any channel count (rgb+depth+features)
+    plan: PallasPlan,
+    background: Optional[jax.Array] = None,  # (D,)
+    interpret: bool = False,
+    trans_eps: float = TRANS_EPS,
+) -> Tuple[jax.Array, jax.Array]:
+    """Differentiable fused render for one camera on the Pallas path.
+
+    Returns (image (H, W, D), alpha (H, W)). The backward pass runs the
+    analytic compositing adjoint as a Pallas kernel and reduces
+    per-intersection gradient rows scatter-free (slot-table gather),
+    yielding d{means2d, conics, opacities, colors, background}.
+    """
+    return _train_core(
+        means2d, conics, opacities, colors, background, plan,
+        interpret, trans_eps,
+    )
