@@ -43,6 +43,7 @@ def main(
     capacity_multiple: int = 0,
     viewer_port: int = -1,
     viewer_every: int = 100,
+    raster_engine: str = "auto",
 ):
     import jax
 
@@ -86,6 +87,7 @@ def main(
         app_opt=app_opt,
         compression=compression,
         capacity_multiple=capacity_multiple,
+        raster_engine=raster_engine,
     ).adjust_steps()
 
     os.makedirs(result_dir, exist_ok=True)

@@ -99,6 +99,21 @@ class TrainConfig:
     near_plane: float = 0.01
     far_plane: float = 1e10
     antialiased: bool = False
+    # rasterizer engine for the train step: "tiled" (pure-JAX recompute
+    # VJP), "pallas" (fused TPU kernels fwd+bwd, raster/pallas_train.py),
+    # "auto" = pallas on accelerators, tiled on CPU
+    raster_engine: str = "auto"
+    # tile edge for the Pallas training kernels (16 keeps the backward's
+    # (ts*ts, BLOCK) VPU temporaries comfortably in VMEM at wide D)
+    pallas_tile_size: int = 16
+    # extra headroom on the measured Pallas size buckets: the scene keeps
+    # moving between refines (sizes are re-estimated only on refine), so
+    # training wants more margin than the static lift pipeline's 1.25
+    pallas_size_margin: float = 2.0
+    # early-exit transmittance threshold for the Pallas kernels; 0.0
+    # composites every block (bit-comparable to the tiled engine, which
+    # never exits early)
+    pallas_trans_eps: float = 1e-4
 
     # misc
     seed: int = 42

@@ -32,6 +32,12 @@ from tpugs.raster.projection import (
     project,
     view_directions,
 )
+from tpugs.raster.pallas_tiled import (
+    PallasSizes,
+    _plan_build,
+    estimate_pallas_sizes,
+)
+from tpugs.raster.pallas_train import render_plan_train
 from tpugs.raster.tiled import TileConfig, render_tiled
 from tpugs.train.config import TrainConfig
 from tpugs.train.metrics import psnr, ssim, ssim_loss
@@ -193,6 +199,19 @@ class Trainer:
             antialiased=cfg.antialiased,
         )
         self.tile_config = TileConfig()
+        # Rasterizer engine for the train step. "auto" picks the fused
+        # Pallas kernels on accelerators; on CPU the pure-JAX tiled path
+        # compiles natively while Pallas would run in slow interpret mode.
+        eng = cfg.raster_engine
+        if eng == "auto":
+            eng = "tiled" if jax.devices()[0].platform == "cpu" else "pallas"
+        if eng not in ("tiled", "pallas"):
+            raise ValueError(
+                f"unknown raster_engine {cfg.raster_engine!r} "
+                "(expected auto|pallas|tiled)"
+            )
+        self.engine = eng
+        self._interpret = jax.devices()[0].platform == "cpu"
         self._tb = None
         self._rng = np.random.default_rng(cfg.seed + 7)
         self._init_pose_app()
@@ -293,6 +312,15 @@ class Trainer:
     def _estimate_sizes(self, viewmats, Ks, margin: float = 1.5):
         from tpugs.raster.api import plan_render
 
+        if self.engine == "pallas":
+            self._sizes = estimate_pallas_sizes(
+                self.scene.means, self.scene.quats, self.scene.scales,
+                self.scene.opacities, viewmats[:4], Ks[:4],
+                self.width, self.height, self.proj_config,
+                tile_size=self.cfg.pallas_tile_size,
+                margin=self.cfg.pallas_size_margin,
+            )
+            return
         mc, mb = 1, 1
         for c in range(min(4, viewmats.shape[0])):
             plan = plan_render(
@@ -321,7 +349,6 @@ class Trainer:
         sh_degree, sizes,
     ):
         cfg = self.cfg
-        max_cover, max_blocks = sizes
         # Camera pose residuals (reference :555-561): noise perturbation
         # first (fixed), then the learned adjustment, both on camtoworld.
         pose_params = aux_params.get("pose")
@@ -340,11 +367,6 @@ class Trainer:
         # d loss / d offset2d == d loss / d means2d (the stat gsplat
         # collects with autograd hooks on means2d).
         proj = proj._replace(means2d=proj.means2d + offset2d)
-        binning = build_tile_binning(
-            proj, self.tile_config.tile_size, self.width, self.height,
-            max_cover,
-        )
-        order = binning.order
         opac = jnp.where(proj.valid, proj.opacities, 0.0)
         dirs = view_directions(scene.means, viewmat)
         colors = sh_mod.sh_to_color(scene.colors_all, dirs, sh_degree)
@@ -363,11 +385,32 @@ class Trainer:
         if scene.features is not None:
             chans.append(scene.features)
         allc = jnp.concatenate(chans, axis=-1)
-        img, alpha = render_tiled(
-            proj.means2d[order], proj.conics[order], opac[order],
-            allc[order], binning.sorted_gid, binning.tile_starts,
-            self.width, self.height, max_blocks, self.tile_config,
-        )
+        if isinstance(sizes, PallasSizes):
+            # Fused Pallas render: the plan (all-int, non-differentiable)
+            # is rebuilt per step from the projected geometry; gradients
+            # flow through render_plan_train's analytic backward kernel.
+            plan = _plan_build(
+                proj, cfg.pallas_tile_size, self.width, self.height,
+                sizes.max_cover, sizes.T_padded, sizes.T_padded,
+                sizes.cover_pad, sizes.cover_caps, sizes.classes,
+            )
+            img, alpha = render_plan_train(
+                proj.means2d, proj.conics, opac, allc, plan,
+                interpret=self._interpret,
+                trans_eps=cfg.pallas_trans_eps,
+            )
+        else:
+            max_cover, max_blocks = sizes
+            binning = build_tile_binning(
+                proj, self.tile_config.tile_size, self.width, self.height,
+                max_cover,
+            )
+            order = binning.order
+            img, alpha = render_tiled(
+                proj.means2d[order], proj.conics[order], opac[order],
+                allc[order], binning.sorted_gid, binning.tile_starts,
+                self.width, self.height, max_blocks, self.tile_config,
+            )
         rgb = img[..., :3]
         off = 3
         if cfg.random_bkgd:
