@@ -143,6 +143,57 @@ def test_pallas_engine_matches_tiled(tmp_path):
     assert float(np.abs(np.asarray(t_pal.grad_state.grad2d_sum)).sum()) > 0
 
 
+def test_pallas_size_overflow_triggers_reestimate(tmp_path):
+    """When the scene outgrows the static Pallas buckets, the train step
+    reports it on-device and the trainer re-estimates sizes instead of
+    letting the kernels truncate silently (ADVICE r1)."""
+    import warnings
+
+    from tpugs.encoders import get_encoder
+    from tpugs.raster.pallas_tiled import BLOCK, PallasSizes
+    from tpugs.train.dataset import Dataset, Parser
+
+    data_dir, _, _ = _make_disk_dataset(tmp_path)
+    parser = Parser(data_dir, factor=1, test_every=8)
+    train = Dataset(parser, "train")
+    cfg = TrainConfig(
+        max_steps=8, sh_degree=1, feature_dim=8, feature_out_dim=4,
+        strategy="none", sh_degree_interval=100, random_bkgd=False,
+        raster_engine="pallas",
+    )
+    t = _trainer(parser, cfg)
+    teacher = get_encoder("linear:4")
+    d = train[0]
+    feats = teacher(jnp.asarray(d["image"]))
+
+    # healthy sizes: no overflow reported
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        s = t.train_step(d, teacher_feats=feats)
+    assert s.get("size_overflow", 0) == 0
+    assert t._sizes is not None
+
+    # cripple the buckets: one expansion slot per Gaussian, minimal T
+    n = t.scene.num_gaussians
+    t._sizes = PallasSizes(
+        max_cover=8, T_padded=BLOCK, cover_pad=8,
+        cover_caps=(1,) * 8, classes=((n, 1),),
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        s = t.train_step(d, teacher_feats=feats)
+    assert s["size_overflow"] > 0
+    assert any("overflow" in str(x.message) for x in w)
+    assert t._sizes is None  # re-estimate scheduled
+
+    # next step self-heals (re-estimates and runs clean)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        s = t.train_step(d, teacher_feats=feats)
+    assert s.get("size_overflow", 0) == 0
+    assert isinstance(t._sizes, PallasSizes)
+
+
 def test_pallas_engine_chunked_scan(tmp_path):
     """The Pallas custom VJP composes inside the chunked lax.scan train
     path (one dispatch per chunk)."""

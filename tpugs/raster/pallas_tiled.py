@@ -208,6 +208,7 @@ def _normalize_classes(classes, n, max_cover):
         "cover_pad",
         "cover_caps",
         "classes",
+        "with_stats",
     ),
 )
 def _plan_build(
@@ -221,6 +222,7 @@ def _plan_build(
     cover_pad,
     cover_caps=(),
     classes=(),
+    with_stats=False,
 ):
     n = proj.means2d.shape[0]
     ntx, nty = tile_grid(width, height, tile_size)
@@ -337,7 +339,7 @@ def _plan_build(
             :T_padded
         ]
     )
-    return PallasPlan(
+    plan = PallasPlan(
         order=order,
         padded_gid=padded_gid,
         slot_order=slot_order,
@@ -354,6 +356,40 @@ def _plan_build(
         cover_caps=tuple(cover_caps),
         classes=classes,
     )
+    if not with_stats:
+        return plan
+    # On-device overflow accounting (3 scalars): whether this view's
+    # requirements exceed the static buckets. Long training runs move
+    # the scene between size re-estimates; without this the plan/kernels
+    # truncate silently (ADVICE r1). `dropped` is an upper bound (it
+    # ignores the sub-cutoff cull, which legitimately removes entries).
+    slots_cap = jnp.zeros((n,), jnp.int32)
+    off = 0
+    for c_cnt, c_slots in classes:
+        slot_ids = cover_rank[off : off + c_cnt]
+        slots_cap = slots_cap.at[slot_ids].set(c_slots)
+        off += c_cnt
+    dropped = jnp.sum(jnp.maximum(cnt - slots_cap, 0))
+    t_req = jnp.sum(padded_spans)
+    # cover_caps[j] bounds #Gaussians covering > j tiles (load-bearing
+    # for the reduce's prefix gathers)
+    cap_over = jnp.int32(0)
+    if cover_caps:
+        bc = jnp.bincount(
+            jnp.clip(cnt, 0, max_cover), length=max_cover + 1
+        )
+        over_j = jnp.asarray(n, jnp.int32) - jnp.cumsum(bc)[:-1]
+        caps_arr = jnp.asarray(
+            [min(int(c), n) for c in cover_caps[:max_cover]], jnp.int32
+        )
+        k = caps_arr.shape[0]
+        cap_over = jnp.max(jnp.maximum(over_j[:k] - caps_arr, 0))
+    stats = {
+        "t_req": t_req,
+        "dropped": dropped,
+        "cap_overflow": cap_over,
+    }
+    return plan, stats
 
 
 class PallasSizes(NamedTuple):

@@ -389,10 +389,11 @@ class Trainer:
             # Fused Pallas render: the plan (all-int, non-differentiable)
             # is rebuilt per step from the projected geometry; gradients
             # flow through render_plan_train's analytic backward kernel.
-            plan = _plan_build(
+            plan, size_stats = _plan_build(
                 proj, cfg.pallas_tile_size, self.width, self.height,
                 sizes.max_cover, sizes.T_padded, sizes.T_padded,
                 sizes.cover_pad, sizes.cover_caps, sizes.classes,
+                with_stats=True,
             )
             img, alpha = render_plan_train(
                 proj.means2d, proj.conics, opac, allc, plan,
@@ -456,6 +457,16 @@ class Trainer:
             "depth_l": depth_l,
             "visible": proj.valid,
         }
+        if isinstance(sizes, PallasSizes):
+            # scene growth can outrun the static buckets between size
+            # re-estimates; the host watches this and re-estimates
+            aux["size_overflow"] = jnp.maximum(
+                jnp.maximum(
+                    size_stats["t_req"] - sizes.T_padded,
+                    size_stats["dropped"],
+                ),
+                size_stats["cap_overflow"],
+            )
         return loss, aux
 
     @functools.partial(
@@ -561,6 +572,15 @@ class Trainer:
             self._sizes,
             with_depth,
         )
+        if float(stats.get("size_overflow", 0)) > 0:
+            import warnings
+
+            warnings.warn(
+                f"Pallas size buckets overflowed at step {self.step} "
+                f"(by {int(stats['size_overflow'])} entries); "
+                "re-estimating sizes (recompile) on the next step"
+            )
+            self._sizes = None
         if self.strategy is not None:
             self.grad_state.accumulate(
                 np.asarray(stats["grad2d"]), np.asarray(stats["visible"])
@@ -693,6 +713,8 @@ class Trainer:
                 "feature_l1": aux["feature_l1"],
                 "depth_l": aux["depth_l"],
             }
+            if "size_overflow" in aux:
+                ys["size_overflow"] = aux["size_overflow"]
             return (sc, opt, pp, pos, ap, aos, g2d, vc), ys
 
         carry0 = (
@@ -751,6 +773,16 @@ class Trainer:
             self.grad_state.accumulate(np.asarray(g2d), np.asarray(vc))
         self.step += n_steps
         out = {k: np.asarray(v) for k, v in ys.items()}
+        ov = out.pop("size_overflow", None)
+        if ov is not None and int(np.max(ov)) > 0:
+            import warnings
+
+            warnings.warn(
+                f"Pallas size buckets overflowed inside chunk ending at "
+                f"step {self.step} (worst by {int(np.max(ov))} entries); "
+                "re-estimating sizes (recompile) for the next chunk"
+            )
+            self._sizes = None
         if self._tb is not None:
             self.log_scalars(
                 {k: float(v[-1]) for k, v in out.items()}, self.step
