@@ -214,3 +214,25 @@ def test_pallas_engine_chunked_scan(tmp_path):
     out = t.train_chunk(staged, 4, cam_idx=[0, 1, 2, 0])
     assert np.isfinite(out["loss"]).all()
     assert t.step == 4
+
+    # eval render goes through the Pallas forward and matches the pure
+    # tiled render of the same scene
+    from tpugs.raster.api import plan_render, rasterize_with_plan
+
+    d = train[0]
+    img_p, alpha_p = t.render_eval(d["viewmat"], d["K"])
+    vm, K = jnp.asarray(d["viewmat"]), jnp.asarray(d["K"])
+    plan = plan_render(
+        t.scene.means, t.scene.quats, t.scene.scales, t.scene.opacities,
+        vm, K, W, H, t.proj_config, t.tile_config,
+    )
+    img_r, alpha_r = rasterize_with_plan(
+        t.scene.means, t.scene.quats, t.scene.scales, t.scene.opacities,
+        t.scene.colors_all, vm, K, plan, sh_degree=t.scene.sh_degree,
+    )
+    np.testing.assert_allclose(
+        np.asarray(img_p), np.asarray(img_r), atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(alpha_p), np.asarray(alpha_r), atol=2e-4
+    )

@@ -154,6 +154,27 @@ def make_optimizer(cfg: TrainConfig, scene_scale: float, batch_size: int = 1):
     return optax.multi_transform(txs, label_fn)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("sh_degree", "proj_config", "interpret")
+)
+def _render_eval_pallas_jit(
+    scene: GaussianScene, viewmat, K, plan, sh_degree, proj_config,
+    interpret,
+):
+    """Forward-only RGB render through the fused Pallas kernel."""
+    proj = project(
+        scene.means, scene.quats, scene.scales, scene.opacities,
+        viewmat, K, plan.width, plan.height, proj_config,
+    )
+    opac = jnp.where(proj.valid, proj.opacities, 0.0)
+    dirs = view_directions(scene.means, viewmat)
+    colors = sh_mod.sh_to_color(scene.colors_all, dirs, sh_degree)
+    return render_plan_train(
+        proj.means2d, proj.conics, opac, colors, plan,
+        interpret=interpret,
+    )
+
+
 def _rigid_inverse(m: jax.Array) -> jax.Array:
     """Inverse of a rigid 4x4 [R t; 0 1] (viewmat <-> camtoworld)."""
     R = m[:3, :3]
@@ -816,18 +837,36 @@ class Trainer:
 
     # ---------------------------------------------------------------- eval
     def render_eval(self, viewmat, K, sh_degree: Optional[int] = None):
+        deg = self.scene.sh_degree if sh_degree is None else sh_degree
+        viewmat, K = jnp.asarray(viewmat), jnp.asarray(K)
+        if self.engine == "pallas":
+            # Eval views (val split, trajectories, compression probes)
+            # are arbitrary, so build an exact per-view plan with its own
+            # bucketed sizes (a couple of host syncs — fine at eval
+            # cadence) instead of trusting the training buckets.
+            from tpugs.raster.pallas_tiled import build_pallas_plan
+
+            plan = build_pallas_plan(
+                self.scene.means, self.scene.quats, self.scene.scales,
+                self.scene.opacities, viewmat, K,
+                self.width, self.height, self.proj_config,
+                tile_size=self.cfg.pallas_tile_size,
+            )
+            return _render_eval_pallas_jit(
+                self.scene, viewmat, K, plan, deg, self.proj_config,
+                self._interpret,
+            )
         from tpugs.raster.api import plan_render, rasterize_with_plan
 
-        deg = self.scene.sh_degree if sh_degree is None else sh_degree
         plan = plan_render(
             self.scene.means, self.scene.quats, self.scene.scales,
-            self.scene.opacities, jnp.asarray(viewmat), jnp.asarray(K),
+            self.scene.opacities, viewmat, K,
             self.width, self.height, self.proj_config, self.tile_config,
         )
         return rasterize_with_plan(
             self.scene.means, self.scene.quats, self.scene.scales,
             self.scene.opacities, self.scene.colors_all,
-            jnp.asarray(viewmat), jnp.asarray(K), plan, sh_degree=deg,
+            viewmat, K, plan, sh_degree=deg,
         )
 
     def evaluate(self, dataset, max_images: Optional[int] = None) -> dict:
