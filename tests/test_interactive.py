@@ -69,6 +69,10 @@ def test_render_frame_and_anaglyph():
     fa = render_frame(scene, vm, K, W, H, anaglyph=True)
     assert fa.shape == (H, W, 3)
     assert not np.array_equal(f, fa)  # stereo offset changes channels
+    # the fused Pallas engine (the TPU interactive path) renders the
+    # same frame (uint8-exact modulo 1 lsb of float rounding)
+    fp = render_frame(scene, vm, K, W, H, engine="pallas")
+    assert np.abs(fp.astype(int) - f.astype(int)).max() <= 1
 
 
 def test_viewer_key_handling():

@@ -127,13 +127,30 @@ def render_frame(
     anaglyph: bool = False,
     eye_offset: float = 0.05,
     axes_overlay: bool = False,
+    engine: str = "auto",
 ) -> np.ndarray:
     """One viewer frame as uint8 RGB (optionally anaglyph stereo,
-    reference viewer.py:221-247)."""
+    reference viewer.py:221-247). ``engine``: "pallas" renders through
+    the fused TPU kernel (interactive rates at real scene sizes),
+    "tiled" through the pure-JAX renderer; "auto" picks pallas on
+    accelerators."""
+    import jax
+
     from tpugs.raster.api import plan_render, rasterize_with_plan
     from tpugs.viz.common import to_uint8
 
+    on_cpu = jax.devices()[0].platform == "cpu"
+    if engine == "auto":
+        engine = "tiled" if on_cpu else "pallas"
+
     def render(vm):
+        if engine == "pallas":
+            from tpugs.raster.pallas_train import render_scene_pallas
+
+            img, _ = render_scene_pallas(
+                scene, vm, K, width, height, interpret=on_cpu
+            )
+            return to_uint8(img)
         plan = plan_render(
             scene.means, scene.quats, scene.scales, scene.opacities,
             jnp.asarray(vm), jnp.asarray(K), width, height,

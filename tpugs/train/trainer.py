@@ -154,27 +154,6 @@ def make_optimizer(cfg: TrainConfig, scene_scale: float, batch_size: int = 1):
     return optax.multi_transform(txs, label_fn)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("sh_degree", "proj_config", "interpret")
-)
-def _render_eval_pallas_jit(
-    scene: GaussianScene, viewmat, K, plan, sh_degree, proj_config,
-    interpret,
-):
-    """Forward-only RGB render through the fused Pallas kernel."""
-    proj = project(
-        scene.means, scene.quats, scene.scales, scene.opacities,
-        viewmat, K, plan.width, plan.height, proj_config,
-    )
-    opac = jnp.where(proj.valid, proj.opacities, 0.0)
-    dirs = view_directions(scene.means, viewmat)
-    colors = sh_mod.sh_to_color(scene.colors_all, dirs, sh_degree)
-    return render_plan_train(
-        proj.means2d, proj.conics, opac, colors, plan,
-        interpret=interpret,
-    )
-
-
 def _rigid_inverse(m: jax.Array) -> jax.Array:
     """Inverse of a rigid 4x4 [R t; 0 1] (viewmat <-> camtoworld)."""
     R = m[:3, :3]
@@ -844,17 +823,13 @@ class Trainer:
             # are arbitrary, so build an exact per-view plan with its own
             # bucketed sizes (a couple of host syncs — fine at eval
             # cadence) instead of trusting the training buckets.
-            from tpugs.raster.pallas_tiled import build_pallas_plan
+            from tpugs.raster.pallas_train import render_scene_pallas
 
-            plan = build_pallas_plan(
-                self.scene.means, self.scene.quats, self.scene.scales,
-                self.scene.opacities, viewmat, K,
-                self.width, self.height, self.proj_config,
+            return render_scene_pallas(
+                self.scene, viewmat, K, self.width, self.height,
+                sh_degree=deg, proj_config=self.proj_config,
                 tile_size=self.cfg.pallas_tile_size,
-            )
-            return _render_eval_pallas_jit(
-                self.scene, viewmat, K, plan, deg, self.proj_config,
-                self._interpret,
+                interpret=self._interpret,
             )
         from tpugs.raster.api import plan_render, rasterize_with_plan
 
