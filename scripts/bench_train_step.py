@@ -11,6 +11,14 @@ Quick CPU check: TPUGS_PLATFORM=cpu python scripts/bench_train_step.py \
     --num-gaussians 2000 --width 128 --height 96 --steps 4 --engines tiled
 """
 
+import os as _os
+import sys as _sys
+
+_REPO_ROOT = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+if _REPO_ROOT not in _sys.path:
+    _sys.path.insert(0, _REPO_ROOT)
+
+
 import argparse
 import os
 import sys

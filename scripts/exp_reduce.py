@@ -4,6 +4,14 @@ this TPU, and what structure makes it fast?
 Run: PYTHONPATH="/root/repo:$PYTHONPATH" timeout 1500 python scripts/exp_reduce.py
 """
 
+import os as _os
+import sys as _sys
+
+_REPO_ROOT = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+if _REPO_ROOT not in _sys.path:
+    _sys.path.insert(0, _REPO_ROOT)
+
+
 import numpy as np
 import jax
 import jax.numpy as jnp
