@@ -87,3 +87,18 @@ def test_render_pca_both_modes(tmp_path):
     ff = render_pca(scene, feats, cams, str(tmp_path / "f.gif"), "frame")
     assert len(fg) == 2 and len(ff) == 2
     assert fg[0].shape == (H, W, 3) and ff[0].shape == (H, W, 3)
+
+
+def test_overlay_mask_red_alpha_blend_semantics():
+    # Masked pixel = 0.75*image + 0.25*red; unmasked = unchanged
+    # (reference segment.py:225-231).
+    from tpugs.viz.gif import overlay_mask_red
+
+    frame = np.full((2, 2, 3), 100, np.uint8)
+    mask = np.array([[1, 0], [0, 1]], np.float64)
+    out = overlay_mask_red(frame, mask)
+    np.testing.assert_array_equal(out[0, 1], [100, 100, 100])
+    np.testing.assert_array_equal(out[1, 0], [100, 100, 100])
+    expect = np.clip(0.75 * 100 + 0.25 * np.array([255.0, 0, 0]), 0, 255)
+    np.testing.assert_array_equal(out[0, 0], expect.astype(np.uint8))
+    np.testing.assert_array_equal(out[1, 1], expect.astype(np.uint8))

@@ -80,6 +80,17 @@ def render_to_gif(
     return frames
 
 
+def overlay_mask_red(frame: np.ndarray, mask2d: np.ndarray) -> np.ndarray:
+    """Reference semantics (segment.py:225-231): masked pixels become the
+    0.75/0.25 alpha blend of the image with pure red; unmasked pixels
+    pass through unchanged."""
+    f = frame.astype(np.float64)
+    m = mask2d.astype(np.float64)[..., None]
+    red = np.array([255.0, 0.0, 0.0])
+    out = (1 - m) * f + m * (0.75 * f + 0.25 * red)
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
 def render_mask_2d_to_gif(
     scene: GaussianScene,
     features: jnp.ndarray,  # (N, D) lifted features
@@ -102,12 +113,8 @@ def render_mask_2d_to_gif(
             features, cams.viewmats[c], cams.Ks[c], plan,
         )
         mask2d = np.asarray(get_mask2d(feat_img, pos_queries, neg_queries))
-        frame = to_uint8(img).astype(np.float64)
-        m = mask2d[..., None]
-        frame = frame * (
-            0.75 + 0.25 * m * np.array([255, 0, 0]) + (1 - m) * 0.25
-        )
-        frames.append(np.clip(frame, 0, 255).astype(np.uint8))
+        frame = overlay_mask_red(to_uint8(img), mask2d)
+        frames.append(frame)
     if output_path is not None:
         save_gif(frames, output_path, fps)
     return frames
