@@ -72,10 +72,12 @@ class PallasPlan:
     padded_starts: jax.Array  # (n_tiles,) block-padded offsets — every
     #                           value is a multiple of BLOCK, so all
     #                           kernel DMAs are lane-tile aligned
-    slots: jax.Array  # (N, cover_pad) padded-contrib slot per cover, or
+    slots: jax.Array  # (cover_pad, N) padded-contrib slot per cover, or
     #                    T_padded (dummy zero row) for unused covers.
-    #                    Rows sorted by DESCENDING cover count, so column
-    #                    j's real entries form a prefix (see reduce).
+    #                    Stored cover-major (transposed) so each cover row
+    #                    is contiguous and lane-packed; columns sorted by
+    #                    DESCENDING cover count, so row j's real entries
+    #                    form a prefix (see reduce).
     slot_order: jax.Array  # (N,) original Gaussian index per slots row
     width: int = dataclasses.field(metadata=_STATIC, default=0)
     height: int = dataclasses.field(metadata=_STATIC, default=0)
@@ -254,30 +256,41 @@ def _plan_build(
     classes = _normalize_classes(classes, n, max_cover)
 
     def expand(rows, slots_per):
-        from tpugs.raster.binning import tile_cut_mask
-
-        r_tx0 = tx0[rows]
-        r_ty0 = ty0[rows]
-        r_w = w_safe[rows]
-        r_cnt = cnt[rows]
-        jj = jnp.arange(slots_per, dtype=jnp.int32)
-        jx = jj[None, :] % r_w[:, None]
-        jy = jj[None, :] // r_w[:, None]
+        # Cover-major (slots_per, count) layout: the class's count is the
+        # minor (lane) dim, so the VPU is fully packed; a (count,
+        # slots_per) layout pads the tiny minor dim (4..24) to 128 lanes
+        # and wastes ~97% of it (measured 93 ms -> 9 ms for this stage).
+        # Gathers stay at (count,) granularity (one per per-Gaussian
+        # array), NOT per-entry — per-entry scalar gathers are
+        # latency-bound on TPU (measured 5x slower overall). Entries
+        # flatten j-MAJOR; the slot-table reassembly below matches.
+        r_tx0 = tx0[rows][None, :]
+        r_ty0 = ty0[rows][None, :]
+        r_w = w_safe[rows][None, :]
+        r_cnt = cnt[rows][None, :]
+        jj = jnp.arange(slots_per, dtype=jnp.int32)[:, None]
+        jx = jj % r_w
+        jy = jj // r_w
         # truncation guard: entries beyond slots_per are dropped (the
         # size estimation's class-boundary margins must cover all
         # high-cover Gaussians; see _choose_classes)
-        sv = jj[None, :] < jnp.minimum(r_cnt, slots_per)[:, None]
+        sv = jj < jnp.minimum(r_cnt, slots_per)
         # Sub-cutoff tile cull (exact): bbox candidates whose whole tile
         # is below the 1/255 alpha clip become sentinels, shrinking the
         # real per-tile spans (hence T_padded, the adjoint grid, and the
-        # reduce) without changing any output pixel or gradient.
-        sv &= tile_cut_mask(
-            m2d[rows], cut_r2[rows],
-            r_tx0[:, None] + jx, r_ty0[:, None] + jy, tile_size,
-        )
-        t = (r_ty0[:, None] + jy) * ntx + (r_tx0[:, None] + jx)
+        # reduce) without changing any output pixel or gradient. Inline
+        # (slots, count)-layout form of binning.tile_cut_mask.
+        ts = float(tile_size)
+        x0 = (r_tx0 + jx).astype(jnp.float32) * ts
+        y0 = (r_ty0 + jy).astype(jnp.float32) * ts
+        mx = m2d[rows, 0][None, :]
+        my = m2d[rows, 1][None, :]
+        dx = jnp.maximum(jnp.maximum(x0 - mx, mx - (x0 + ts)), 0.0)
+        dy = jnp.maximum(jnp.maximum(y0 - my, my - (y0 + ts)), 0.0)
+        sv &= dx * dx + dy * dy <= cut_r2[rows][None, :]
+        t = (r_ty0 + jy) * ntx + (r_tx0 + jx)
         t = jnp.where(sv, t, n_tiles).astype(jnp.int32)
-        g = jnp.where(sv, rows[:, None], n).astype(jnp.int32)
+        g = jnp.where(sv, rows[None, :], n).astype(jnp.int32)
         return t.reshape(-1), g.reshape(-1)
 
     tid_parts, gid_parts = [], []
@@ -309,24 +322,27 @@ def _plan_build(
     slots_flat = jnp.full(
         (tid_flat.shape[0],), T_padded, jnp.int32
     ).at[eidx_s].set(pos, unique_indices=True)
-    # Reassemble per class: rows are already in cover_rank order, which
+    # Reassemble per class into the cover-major (cover_pad, N) table:
+    # entries were flattened j-major, so each class block reshapes
+    # directly to (c_slots, c_cnt) with the class count on lanes — no
+    # transpose anywhere. Columns are already in cover_rank order, which
     # is exactly the cover-descending order the prefix reduction wants.
-    slot_rows = []
+    slot_cols = []
     pos0 = 0
     for c_cnt, c_slots in classes:
-        s_c = slots_flat[pos0 : pos0 + c_cnt * c_slots].reshape(c_cnt, c_slots)
+        s_c = slots_flat[pos0 : pos0 + c_cnt * c_slots].reshape(c_slots, c_cnt)
         if c_slots < cover_pad:
             s_c = jnp.concatenate(
                 [
                     s_c,
-                    jnp.full((c_cnt, cover_pad - c_slots), T_padded, jnp.int32),
+                    jnp.full((cover_pad - c_slots, c_cnt), T_padded, jnp.int32),
                 ],
-                axis=1,
+                axis=0,
             )
-        slot_rows.append(s_c[:, :cover_pad])
+        slot_cols.append(s_c[:cover_pad])
         pos0 += c_cnt * c_slots
     slots = (
-        jnp.concatenate(slot_rows, axis=0) if len(slot_rows) > 1 else slot_rows[0]
+        jnp.concatenate(slot_cols, axis=1) if len(slot_cols) > 1 else slot_cols[0]
     )
     slot_order = order[cover_rank]  # row i of slots -> original Gaussian
 
@@ -1225,9 +1241,9 @@ def reduce_contribs(
     """Per-Gaussian sums via the slot-table gather (no scatter).
     Returns (N, D) in ORIGINAL Gaussian order.
 
-    The slot table rows are sorted by descending cover count, so column
-    j's real entries form a prefix; with static prefix caps
-    (``cover_caps`` from the size estimation) each column gathers only
+    The slot table (cover-major, (cover_pad, N)) columns are sorted by
+    descending cover count, so row j's real entries form a prefix; with
+    static prefix caps (``cover_caps``) each cover row gathers only
     ~the real intersections instead of N rows of mostly dummies.
 
     Perf notes (measured, TPU v5e, garden scale): the row gather runs at
@@ -1237,8 +1253,8 @@ def reduce_contribs(
     over the gathered buffer — the previous per-column-group structure
     (24 gathers + f32 materialization + serialization tokens) cost 4x
     the gather itself."""
-    slots = plan.slots  # (N, cover_pad), cover-sorted rows
-    n, cover = slots.shape
+    slots = plan.slots  # (cover_pad, N), cover-major; cover-sorted cols
+    cover, n = slots.shape
     D = contribs.shape[-1]
     cover_caps = plan.cover_caps
 
@@ -1271,7 +1287,8 @@ def reduce_contribs(
     acc = None
     for (j0, j1, cap) in groups:
         k = j1 - j0
-        flat = jax.lax.slice_in_dim(slots, j0, j1, axis=1)[:cap].T.reshape(-1)
+        # Row slice of the cover-major table: contiguous, no transpose.
+        flat = jax.lax.slice_in_dim(slots[j0:j1], 0, cap, axis=1).reshape(-1)
         if acc is not None:
             # Serialize group gathers on the running accumulator:
             # without this dependency XLA schedules them concurrently
