@@ -13,6 +13,8 @@ Usage:
         --n-gaussians 20000 --n-cams 24 --width 480 --height 320
 """
 
+from __future__ import annotations
+
 import os as _os
 import sys as _sys
 
@@ -20,8 +22,6 @@ _REPO_ROOT = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
 if _REPO_ROOT not in _sys.path:
     _sys.path.insert(0, _REPO_ROOT)
 
-
-from __future__ import annotations
 
 import os
 

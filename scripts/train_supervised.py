@@ -15,6 +15,8 @@ Usage (at-scale synthetic run):
         --max-steps 30000 --chunked --save-every 1000 ...
 """
 
+from __future__ import annotations
+
 import os as _os
 import sys as _sys
 
@@ -22,8 +24,6 @@ _REPO_ROOT = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
 if _REPO_ROOT not in _sys.path:
     _sys.path.insert(0, _REPO_ROOT)
 
-
-from __future__ import annotations
 
 import argparse
 import glob
