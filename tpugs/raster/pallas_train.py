@@ -69,6 +69,18 @@ def _d_pad_of(D: int) -> int:
     return max(8, cdiv(D, 8) * 8)
 
 
+def _d_out_of(d_pad: int) -> int:
+    """Contribution-row width: d_pad color-gradient lanes + 8 geometry
+    lanes, floored at one full 128-lane tile. The floor is a Mosaic
+    constraint, not a layout choice: a VMEM scratch narrower than 128
+    lanes is allocated AS 128 lanes, and the obuf.at[slot] DMA slice of
+    the declared (smaller) extent is then a partial, unaligned lane
+    slice Mosaic rejects ("Slice shape along dimension 2 must be aligned
+    to tiling (128)"). At or above 128 lanes the slice covers the full
+    declared extent and any width is legal."""
+    return max(d_pad + 8, 128)
+
+
 def _lane_prefix_sum(x):
     """Inclusive cumsum along the lane axis (width 128) via 7 doubling
     steps of roll+mask-add (additive twin of ``_lane_prefix_prod``)."""
@@ -386,10 +398,14 @@ def _make_bwd_kernel(ntx: int, ts: int, d_pad: int, d_aug: int, d_out: int,
                     col(d_sig * (dx * dy)),  # d conic.b
                     col(d_sig * (0.5 * dy * dy)),  # d conic.c
                     col(d_op_px),  # d opacity
-                    jnp.zeros((BLOCK, 2), jnp.float32),
+                    # lane padding: 2 spare rows + whatever lifts d_out to
+                    # its 128-lane floor (Mosaic promotes a <128-lane VMEM
+                    # scratch to 128 lanes but rejects the then-partial
+                    # obuf slice; see _d_out_of)
+                    jnp.zeros((BLOCK, d_out - d_pad - 6), jnp.float32),
                 ],
                 axis=1,
-            )  # (BLOCK, 8)
+            )  # (BLOCK, d_out - d_pad)
 
             # dL/dc_b = sum_p w_b(p) g(p)  (MXU: contract pixels)
             d_col = jax.lax.dot_general(
@@ -470,7 +486,7 @@ def _backward_impl(means2d, conics, opacities, colors, background,
     D = colors.shape[-1]
     d_pad = _d_pad_of(D)
     d_aug = d_pad + 8
-    d_out = d_pad + 8
+    d_out = _d_out_of(d_pad)
 
     transs = 1.0 - alpha  # final per-pixel transmittance (H, W)
     hp = jax.lax.Precision.HIGHEST
