@@ -193,6 +193,18 @@ def test_compression_eval():
     assert out["compressed_bytes"] > 0
     assert out["psnr_vs_uncompressed"] > 20.0
 
+    # val-split path (reference evaluates compression on val views,
+    # f3dgs/simple_trainer_feature_3dgs.py:911-926)
+    vm = np.eye(4, dtype=np.float32)
+    vm[2, 3] = 2.5
+    K = np.array(
+        [[60.0, 0, W / 2], [0, 60.0, H / 2], [0, 0, 1]], np.float32
+    )
+    fake_val = [{"viewmat": vm, "K": K}, {"viewmat": vm, "K": K}]
+    out2 = tr.eval_compression(fake_val, max_images=1)
+    assert out2["compressed_bytes"] == out["compressed_bytes"]
+    assert out2["psnr_vs_uncompressed"] > 20.0
+
 
 class TestLPIPS:
     def test_distance_properties(self):

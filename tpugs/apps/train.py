@@ -4,8 +4,8 @@
 Runs the full loop: COLMAP parse -> SfM init -> jitted train steps with
 joint RGB + feature distillation -> periodic eval/checkpoint -> final
 trajectory video. Multi-chip training lives in ``tpugs/dist`` (see
-``dist.shard.sharded_train_step``); this CLI drives the single-chip
-trainer."""
+``dist.shard.make_trainer_step_sharded``); this CLI drives the
+single-chip trainer."""
 
 from __future__ import annotations
 

@@ -275,7 +275,14 @@ def make_sharded_train_step(
     proj_config: ProjectionConfig = ProjectionConfig(),
     tile_config: TileConfig = TileConfig(),
 ):
-    """Build a jitted DP+model-parallel train step.
+    """Build a jitted DP+model-parallel train step — TEST ORACLE ONLY.
+
+    This is the round-1 minimal step (plain L1 loss + SGD-ish optax,
+    pure-JAX tiled renderer): it exists so the CPU-mesh tests have a
+    small, transparent sharded step to compare against the single-chip
+    path. Production multi-chip training is
+    ``make_trainer_step_sharded`` (real Trainer loss, per-group optax,
+    Pallas engine); do not ship this one.
 
     Scene parameter arrays are sharded over ``gauss`` (axis 0); target
     images + cameras over ``cam``. Returns step(scene_shard, viewmats,

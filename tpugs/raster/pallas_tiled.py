@@ -78,7 +78,8 @@ class PallasPlan:
     #                    is contiguous and lane-packed; columns sorted by
     #                    DESCENDING cover count, so row j's real entries
     #                    form a prefix (see reduce).
-    slot_order: jax.Array  # (N,) original Gaussian index per slots row
+    slot_order: jax.Array  # (N,) original Gaussian index per slots COLUMN
+    #                         (the table is cover-major (cover_pad, N))
     width: int = dataclasses.field(metadata=_STATIC, default=0)
     height: int = dataclasses.field(metadata=_STATIC, default=0)
     tile_size: int = dataclasses.field(metadata=_STATIC, default=16)
@@ -250,8 +251,9 @@ def _plan_build(
     # and give each class of ranks only as many expansion slots as its
     # covers need (the classes come from the maxed cover histogram with
     # margins — see _choose_classes). The expansion entry index e
-    # encodes (class, row, j) so the slot table can be reassembled
-    # after the big sort.
+    # encodes (class, j, row) — j-major within a class, matching the
+    # cover-major (slots_per, count) flatten and the reshape(c_slots,
+    # c_cnt) reassembly of the slot table after the big sort.
     cover_rank = jnp.argsort(-cnt)
     classes = _normalize_classes(classes, n, max_cover)
 
@@ -344,7 +346,8 @@ def _plan_build(
     slots = (
         jnp.concatenate(slot_cols, axis=1) if len(slot_cols) > 1 else slot_cols[0]
     )
-    slot_order = order[cover_rank]  # row i of slots -> original Gaussian
+    slot_order = order[cover_rank]  # column i of the cover-major
+    #                                 (cover_pad, N) table -> original Gaussian
 
     # Gaussian id per padded slot (block-padding slots -> sentinel N).
     pos_sc = jnp.where(tid_s < n_tiles, pos, T_padded)

@@ -877,12 +877,19 @@ class Trainer:
         if lpipses:
             out["lpips"] = float(np.mean(lpipses))
         if self.cfg.compression == "png":
-            out["compression"] = self.eval_compression()
+            out["compression"] = self.eval_compression(
+                dataset, max_images=max_images
+            )
         return out
 
-    def eval_compression(self) -> dict:
-        """PNG-compress the scene and report size + reconstruction PSNR
-        on a canonical view (reference PngCompression eval ``:911-926``)."""
+    def eval_compression(self, dataset=None, max_images=None) -> dict:
+        """PNG-compress the scene and report size + reconstruction PSNR.
+
+        With ``dataset`` (the val split — what the reference's
+        PngCompression eval renders, ``:911-926``): mean PSNR of the
+        compressed scene's renders against the uncompressed scene's over
+        the val views. Without: a single canonical synthetic view
+        (dataset-free fallback for unit tests / ad-hoc probes)."""
         import tempfile
 
         from tpugs.io.compression import (
@@ -895,6 +902,26 @@ class Trainer:
             compress_scene(self.scene, td)
             size = compressed_size_bytes(td)
             restored = decompress_scene(td)
+        if dataset is not None and len(dataset):
+            n = len(dataset) if max_images is None else min(
+                max_images, len(dataset)
+            )
+            vals = []
+            for i in range(n):
+                data = dataset[i]
+                orig, _ = self.render_eval(data["viewmat"], data["K"])
+                self_scene, self.scene = self.scene, restored
+                try:
+                    rec, _ = self.render_eval(data["viewmat"], data["K"])
+                finally:
+                    self.scene = self_scene
+                vals.append(float(psnr(
+                    jnp.clip(rec, 0, 1), jnp.clip(orig, 0, 1)
+                )))
+            return {
+                "compressed_bytes": int(size),
+                "psnr_vs_uncompressed": float(np.mean(vals)),
+            }
         center = np.asarray(jnp.mean(self.scene.means, axis=0))
         r = float(
             np.percentile(
