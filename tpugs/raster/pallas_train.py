@@ -71,14 +71,16 @@ def _d_pad_of(D: int) -> int:
 
 def _d_out_of(d_pad: int) -> int:
     """Contribution-row width: d_pad color-gradient lanes + 8 geometry
-    lanes, floored at one full 128-lane tile. The floor is a Mosaic
-    constraint, not a layout choice: a VMEM scratch narrower than 128
-    lanes is allocated AS 128 lanes, and the obuf.at[slot] DMA slice of
-    the declared (smaller) extent is then a partial, unaligned lane
-    slice Mosaic rejects ("Slice shape along dimension 2 must be aligned
-    to tiling (128)"). At or above 128 lanes the slice covers the full
-    declared extent and any width is legal."""
-    return max(d_pad + 8, 128)
+    lanes, rounded up to whole 128-lane tiles. The rounding is a Mosaic
+    constraint, not a layout choice: the manual ``obuf.at[slot]`` DMA is
+    a ``tpu.memref_slice`` of a VMEM scratch, and Mosaic rejects any
+    lane extent that is not a multiple of the 128-lane tiling ("Slice
+    shape along dimension 2 must be aligned to tiling (128)") — measured
+    on chip for 24, 144, 264 and 528 alike. The lift adjoint never hits
+    this because its d_chunk is always a 128 multiple. Cost: up to one
+    extra lane tile of contribution traffic per row (the reduce gathers
+    d_out lanes); zero when d_pad + 8 already lands on a boundary."""
+    return cdiv(d_pad + 8, 128) * 128
 
 
 def _lane_prefix_sum(x):
