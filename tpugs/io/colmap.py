@@ -80,14 +80,26 @@ class ColmapCamera:
             dtype=np.float64,
         )
 
+    @property
+    def is_fisheye(self) -> bool:
+        """True for COLMAP's equidistant-projection (theta-polynomial)
+        models, which need cv2.fisheye.* undistortion — feeding their
+        coefficients to the plain (Brown-Conrady) cv2 path silently
+        produces wrongly-undistorted images."""
+        return self.model in (
+            "OPENCV_FISHEYE", "SIMPLE_RADIAL_FISHEYE", "RADIAL_FISHEYE"
+        )
+
     def distortion_params(self) -> np.ndarray:
-        """(k1, k2, p1, p2) zero-padded (for cv2 undistortion)."""
+        """Distortion coefficients in cv2 layout: (k1, k2, p1, p2) for
+        perspective models, (k1, k2, k3, k4) theta-polynomial terms for
+        fisheye models (consume via ``is_fisheye``)."""
         m = self.model
         if m in ("SIMPLE_PINHOLE", "PINHOLE"):
             return np.zeros(4)
-        if m == "SIMPLE_RADIAL":
+        if m in ("SIMPLE_RADIAL", "SIMPLE_RADIAL_FISHEYE"):
             return np.array([self.params[3], 0, 0, 0])
-        if m == "RADIAL":
+        if m in ("RADIAL", "RADIAL_FISHEYE"):
             return np.array([self.params[3], self.params[4], 0, 0])
         if m in ("OPENCV", "OPENCV_FISHEYE"):
             return np.asarray(self.params[4:8])

@@ -42,6 +42,9 @@ class Parser:
     point_indices: Dict[str, np.ndarray] = field(default_factory=dict)
     transform: np.ndarray = None
     scene_scale: float = 1.0
+    mapx_dict: Dict[int, np.ndarray] = field(default_factory=dict)
+    mapy_dict: Dict[int, np.ndarray] = field(default_factory=dict)
+    roi_undist_dict: Dict[int, tuple] = field(default_factory=dict)
 
     def __post_init__(self):
         colmap_dir = os.path.join(self.data_dir, "sparse/0")
@@ -82,6 +85,8 @@ class Parser:
                 int(cam.width // self.factor),
                 int(cam.height // self.factor),
             )
+            if np.any(self.params_dict[cam_id] != 0):
+                self._build_undistort_maps(cam_id, cam.is_fisheye)
 
         points, points_rgb = manager.points_array()
         points_err = manager.points_err_array()
@@ -131,18 +136,71 @@ class Parser:
     def viewmat(self, idx: int) -> np.ndarray:
         return np.linalg.inv(self.camtoworlds[idx]).astype(np.float32)
 
+    def _build_undistort_maps(self, cam_id: int, fisheye: bool):
+        """Precompute the undistortion remap grid for one camera
+        (reference builds these once at parse time,
+        ``f3dgs/datasets/colmap.py:209-231``).
+
+        Perspective (Brown-Conrady) models go through
+        getOptimalNewCameraMatrix(alpha=0) + initUndistortRectifyMap +
+        ROI crop. Fisheye (equidistant theta-polynomial) models go
+        through the cv2.fisheye pair — the reference asserts these out
+        entirely (``colmap.py:100-103``), and its plain-cv2 path would
+        mis-undistort them. One deliberate deviation: after the ROI
+        crop the principal point is shifted by the ROI offset (the
+        reference keeps the uncropped K — geometrically off by the crop
+        origin). Ks_dict/imsize_dict are updated to the undistorted
+        camera so every consumer (renderer, depth loss) sees the
+        rectified pinhole model."""
+        import cv2
+
+        K = self.Ks_dict[cam_id].astype(np.float64)
+        params = np.asarray(self.params_dict[cam_id], np.float64)
+        w, h = self.imsize_dict[cam_id]
+        if fisheye:
+            D = params[:4].reshape(-1, 1)
+            newK = cv2.fisheye.estimateNewCameraMatrixForUndistortRectify(
+                K, D, (w, h), np.eye(3), balance=0.0
+            )
+            mapx, mapy = cv2.fisheye.initUndistortRectifyMap(
+                K, D, np.eye(3), newK, (w, h), cv2.CV_32FC1
+            )
+            roi = (0, 0, w, h)
+        else:
+            newK, roi = cv2.getOptimalNewCameraMatrix(K, params, (w, h), 0)
+            mapx, mapy = cv2.initUndistortRectifyMap(
+                K, params, None, newK, (w, h), cv2.CV_32FC1
+            )
+        x, y, rw, rh = roi
+        newK = np.asarray(newK, np.float64).copy()
+        newK[0, 2] -= x
+        newK[1, 2] -= y
+        self.Ks_dict[cam_id] = newK.astype(np.float32)
+        self.imsize_dict[cam_id] = (int(rw), int(rh))
+        self.mapx_dict[cam_id] = mapx
+        self.mapy_dict[cam_id] = mapy
+        self.roi_undist_dict[cam_id] = (int(x), int(y), int(rw), int(rh))
+
     def load_image(self, idx: int) -> np.ndarray:
-        """(H, W, 3) float image in [0, 1]; undistorts non-pinhole models."""
+        """(H, W, 3) float image in [0, 1]; undistorts non-pinhole
+        models via the precomputed remap grids."""
         import imageio.v2 as imageio
 
         img = imageio.imread(self.image_paths[idx])[..., :3]
         cam_id = self.camera_ids[idx]
-        params = self.params_dict[cam_id]
-        if np.any(params != 0):
+        if cam_id in self.mapx_dict:
             import cv2
 
-            K = self.Ks_dict[cam_id]
-            img = cv2.undistort(img, K, np.concatenate([params, np.zeros(1)]))
+            mapx, mapy = self.mapx_dict[cam_id], self.mapy_dict[cam_id]
+            # The maps were built at the factor-scaled intrinsics; bring
+            # the image to that scale first if the on-disk resolution
+            # differs (no images_{factor}/ directory).
+            mh, mw = mapx.shape[:2]
+            if img.shape[1] != mw or img.shape[0] != mh:
+                img = cv2.resize(img, (mw, mh))
+            img = cv2.remap(img, mapx, mapy, cv2.INTER_LINEAR)
+            x, y, rw, rh = self.roi_undist_dict[cam_id]
+            img = img[y : y + rh, x : x + rw]
         w, h = self.imsize_dict[cam_id]
         if img.shape[1] != w or img.shape[0] != h:
             import cv2
