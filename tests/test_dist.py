@@ -199,15 +199,17 @@ def test_trainer_step_sharded_matches_single(mesh_shape):
         devs = jax.devices()[: shape[0] * shape[1]]
         mesh = make_mesh(shape, ("cam", "gauss"), devices=devs)
         step = make_trainer_step_sharded(tr, mesh, batch_size=B)
-        scene2, opt2, loss, grad2d = step(
-            tr.scene, tr.opt_state, cams.viewmats, cams.Ks,
-            images, teachers, bkgds,
+        cam_ids = jnp.arange(B, dtype=jnp.int32)
+        scene2, opt2, _, loss, grad2d, vis = step(
+            tr.scene, tr.opt_state, tr.module_state(), cams.viewmats,
+            cams.Ks, images, teachers, bkgds, cam_ids,
         )
-        results[shape] = (scene2, loss, grad2d)
+        results[shape] = (scene2, loss, grad2d, vis)
 
-    s_sh, l_sh, g_sh = results[mesh_shape]
-    s_1, l_1, g_1 = results[(1, 1)]
+    s_sh, l_sh, g_sh, v_sh = results[mesh_shape]
+    s_1, l_1, g_1, v_1 = results[(1, 1)]
     assert np.isfinite(float(l_sh))
+    np.testing.assert_allclose(np.asarray(v_sh), np.asarray(v_1))
     np.testing.assert_allclose(float(l_sh), float(l_1), rtol=1e-5)
     # The shared head's update must match TIGHTLY: a /gauss_n
     # mis-scaling of its (small at this toy scale) gradient slips under
@@ -241,9 +243,132 @@ def test_trainer_step_sharded_no_features():
     rng = np.random.default_rng(1)
     images = jnp.asarray(rng.uniform(0, 1, (B, H, W, 3)).astype(np.float32))
     dummy_teachers = jnp.zeros((B, 1, 1, 1), jnp.float32)
-    scene2, opt2, loss, grad2d = step(
-        tr.scene, tr.opt_state, cams.viewmats, cams.Ks, images,
-        dummy_teachers, jnp.zeros((B, 3)),
+    scene2, opt2, _, loss, grad2d, vis = step(
+        tr.scene, tr.opt_state, tr.module_state(), cams.viewmats, cams.Ks,
+        images, dummy_teachers, jnp.zeros((B, 3)),
+        jnp.arange(B, dtype=jnp.int32),
     )
     assert np.isfinite(float(loss))
     assert not np.allclose(np.asarray(scene2.sh0), np.asarray(tr.scene.sh0))
+
+
+def test_trainer_step_sharded_pose_app_matches_single():
+    """Pose + appearance modules under the sharded step (replicated
+    params, cam-psum DDP of their grads, reference ``:343-384``) must
+    match the single-device step: same loss, same pose/app updates."""
+    from tpugs.dist.shard import make_trainer_step_sharded
+    from tpugs.train.config import TrainConfig
+    from tpugs.train.trainer import Trainer, init_scene_random
+
+    import optax
+
+    B = 4
+    _, cams = _setup(n_cams=B)
+    rng = np.random.default_rng(3)
+    images = jnp.asarray(rng.uniform(0, 1, (B, H, W, 3)).astype(np.float32))
+    teachers = jnp.asarray(
+        rng.uniform(-1, 1, (B, H, W, 16)).astype(np.float32)
+    )
+    bkgds = jnp.zeros((B, 3), jnp.float32)
+    cam_ids = jnp.arange(B, dtype=jnp.int32)
+
+    results = {}
+    for shape in ((2, 2), (1, 1)):
+        cfg = TrainConfig(
+            max_steps=10, init_num_pts=96, init_extent=0.6, sh_degree=1,
+            feature_dim=8, feature_out_dim=16, strategy="none",
+            reset_every=0, random_bkgd=False, batch_size=B, seed=5,
+            pose_opt=True, pose_noise=1e-3, app_opt=True,
+        )
+        scene = init_scene_random(cfg)
+        tr = Trainer(cfg, scene, width=W, height=H, n_cameras=B)
+        # non-trivial pose params so their gradient actually matters
+        p_rng = np.random.default_rng(7)
+        tr.pose_params = tr.pose_params + jnp.asarray(
+            p_rng.normal(0, 1e-3, tr.pose_params.shape).astype(np.float32)
+        )
+        tr._sizes = (64, 4)
+        # SGD everywhere: compares gradients exactly (see note in
+        # test_trainer_step_sharded_matches_single)
+        tr.optimizer = optax.sgd(0.1)
+        tr.opt_state = tr.optimizer.init(tr.scene)
+        tr.pose_optimizer = optax.sgd(0.1)
+        tr.pose_opt_state = tr.pose_optimizer.init(tr.pose_params)
+        tr.app_optimizer = optax.sgd(0.1)
+        tr.app_opt_state = tr.app_optimizer.init(tr.app_params)
+        devs = jax.devices()[: shape[0] * shape[1]]
+        mesh = make_mesh(shape, ("cam", "gauss"), devices=devs)
+        step = make_trainer_step_sharded(tr, mesh, batch_size=B)
+        scene2, _, modules, loss, _, _ = step(
+            tr.scene, tr.opt_state, tr.module_state(), cams.viewmats,
+            cams.Ks, images, teachers, bkgds, cam_ids,
+        )
+        results[shape] = (scene2, modules, loss)
+
+    s_sh, m_sh, l_sh = results[(2, 2)]
+    s_1, m_1, l_1 = results[(1, 1)]
+    assert np.isfinite(float(l_sh))
+    np.testing.assert_allclose(float(l_sh), float(l_1), rtol=1e-5)
+    # pose params moved and match
+    pose_sh, _, app_sh, _ = m_sh
+    pose_1, _, app_1, _ = m_1
+    np.testing.assert_allclose(
+        np.asarray(pose_sh), np.asarray(pose_1), atol=1e-6
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(app_sh), jax.tree_util.tree_leaves(app_1)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s_sh), jax.tree_util.tree_leaves(s_1)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_refine_sharded_cycle():
+    """Sharded densification cycle: step -> accumulate stats ->
+    refine_sharded (gather, refine, re-pad to the gauss axis, re-init
+    opt) -> rebuild step -> step again. N stays divisible by the gauss
+    axis and training continues finite."""
+    from tpugs.dist.shard import make_trainer_step_sharded, refine_sharded
+    from tpugs.train.config import TrainConfig
+    from tpugs.train.strategy import GradState
+    from tpugs.train.trainer import Trainer, init_scene_random
+
+    B = 4
+    _, cams = _setup(n_cams=B)
+    cfg = TrainConfig(
+        max_steps=10, init_num_pts=96, init_extent=0.6, sh_degree=1,
+        feature_dim=0, feature_out_dim=0, strategy="default",
+        reset_every=0, random_bkgd=False, batch_size=B, seed=5,
+        capacity_multiple=0, grow_grad2d=1e-12,  # force some growth
+    )
+    scene = init_scene_random(cfg)
+    tr = Trainer(cfg, scene, width=W, height=H, n_cameras=B)
+    tr._sizes = (64, 4)
+    mesh = make_mesh((2, 2), ("cam", "gauss"), devices=jax.devices()[:4])
+    rng = np.random.default_rng(2)
+    images = jnp.asarray(rng.uniform(0, 1, (B, H, W, 3)).astype(np.float32))
+    dummy_teachers = jnp.zeros((B, 1, 1, 1), jnp.float32)
+    cam_ids = jnp.arange(B, dtype=jnp.int32)
+
+    step = make_trainer_step_sharded(tr, mesh, batch_size=B)
+    tr.scene, tr.opt_state, _, loss, g2d, vis = step(
+        tr.scene, tr.opt_state, tr.module_state(), cams.viewmats, cams.Ks,
+        images, dummy_teachers, jnp.zeros((B, 3)), cam_ids,
+    )
+    tr.grad_state.accumulate(np.asarray(g2d), np.asarray(vis))
+    n_before = tr.scene.num_gaussians
+    info = refine_sharded(tr, mesh)
+    assert tr.scene.num_gaussians % 2 == 0  # divisible by gauss axis
+    assert info["split"] + info["duplicated"] > 0  # growth happened
+    assert tr.grad_state.grad2d_sum.shape[0] == tr.scene.num_gaussians
+    # rebuild the step for the new N and keep training
+    tr._sizes = (64, 4)
+    step = make_trainer_step_sharded(tr, mesh, batch_size=B)
+    tr.scene, tr.opt_state, _, loss2, g2d2, vis2 = step(
+        tr.scene, tr.opt_state, tr.module_state(), cams.viewmats, cams.Ks,
+        images, dummy_teachers, jnp.zeros((B, 3)), cam_ids,
+    )
+    assert np.isfinite(float(loss2))
+    assert g2d2.shape[0] == tr.scene.num_gaussians

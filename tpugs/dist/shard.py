@@ -162,34 +162,36 @@ def make_trainer_step_sharded(trainer, mesh: Mesh, batch_size: int):
     rendering all-gathers the shard (autodiff inserts the matching
     reduce-scatter for the gradients), and the loss is the mean over a
     ``batch_size``-camera batch data-parallel over ``cam`` — gradient
-    psum over ``cam`` is the DDP equivalent.
+    psum over ``cam`` is the DDP equivalent. Pose/appearance modules
+    (reference DDP-wraps them at ``:343-384``) are REPLICATED params:
+    every device carries a full copy, each camera shard contributes
+    gradients only for its own ``cam_ids`` rows, and the cam-axis psum
+    is exactly the DDP allreduce.
 
-    Returns ``step(scene, opt_state, viewmats, Ks, images, teachers,
-    bkgds) -> (scene, opt_state, loss, grad2d)`` operating on GLOBAL
-    arrays (jit shards them per spec); ``teachers`` is (B, H, W, D_out)
-    — pass zeros when the scene has no feature field (ignored).
-    ``grad2d`` is the full-N densification stat in gsplat's NDC units. Requires ``trainer._sizes`` to be set and
-    ``batch_size`` divisible by the cam-axis size, N by the gauss size.
-    Pose/appearance modules are not supported here (replicated-module
-    DDP would psum their grads; assert off)."""
+    Returns ``step(scene, opt_state, modules, viewmats, Ks, images,
+    teachers, bkgds, cam_ids) -> (scene, opt_state, modules, loss,
+    grad2d, vis)`` operating on GLOBAL arrays (jit shards them per
+    spec). ``modules`` is the replicated 4-tuple ``(pose_params,
+    pose_opt_state, app_params, app_opt_state)`` — pass
+    ``trainer.module_state()`` (all None when disabled). ``teachers``
+    is (B, H, W, D_out) — pass zeros when the scene has no feature
+    field (ignored). ``grad2d``/``vis`` are the full-N densification
+    stats (NDC-scaled screen-grad norm sum and per-view visibility
+    count over the batch), gauss-sharded. Requires ``trainer._sizes``
+    to be set, ``batch_size`` divisible by the cam-axis size, N by the
+    gauss size."""
     cam_axis, gauss_axis = mesh.axis_names[0], mesh.axis_names[-1]
     cam_n = mesh.shape[cam_axis]
     gauss_n = mesh.shape[gauss_axis]
     cfg = trainer.cfg
     sizes = trainer._sizes
     assert sizes is not None, "call trainer._estimate_sizes first"
-    assert trainer.pose_params is None and trainer.app_params is None, (
-        "pose/app modules are single-chip only for now"
-    )
-    # The sharded loss renders every view with cam_id=0; a per-camera
-    # pose perturbation would silently apply camera 0's noise to all.
-    assert trainer.pose_perturb is None, (
-        "pose_noise is single-chip only for now"
-    )
     n = trainer.scene.num_gaussians
     assert n % gauss_n == 0 and batch_size % cam_n == 0
     sh_degree = cfg.sh_degree
     optimizer = trainer.optimizer
+    pose_optimizer = getattr(trainer, "pose_optimizer", None)
+    app_optimizer = getattr(trainer, "app_optimizer", None)
     ndc = np.array([trainer.width / 2.0, trainer.height / 2.0], np.float32)
 
     def leaf_spec(leaf):
@@ -205,65 +207,122 @@ def make_trainer_step_sharded(trainer, mesh: Mesh, batch_size: int):
         jax.shard_map,
         mesh=mesh,
         in_specs=(
-            scene_spec, opt_spec, P(cam_axis), P(cam_axis),
-            P(cam_axis), P(cam_axis), P(cam_axis),
+            scene_spec, opt_spec, P(), P(cam_axis), P(cam_axis),
+            P(cam_axis), P(cam_axis), P(cam_axis), P(cam_axis),
         ),
-        out_specs=(scene_spec, opt_spec, P(), P(gauss_axis)),
+        out_specs=(
+            scene_spec, opt_spec, P(), P(), P(gauss_axis), P(gauss_axis),
+        ),
         check_vma=False,
     )
-    def step(scene_shard, opt_shard, vms, ks, images, teachers, bkgds):
-        def lf(shard, off):
+    def step(scene_shard, opt_shard, modules, vms, ks, images, teachers,
+             bkgds, cam_ids):
+        pose_params, pose_opt, app_params, app_opt = modules
+
+        def lf(shard, off, aux_params):
             scene = gather_scene(shard, gauss_axis)
 
             def body(carry, inp):
-                vm, K, img, tf, bk = inp
-                l, _ = trainer._loss_fn(
-                    scene, off, {"pose": None, "app": None}, vm, K, img,
+                vm, K, img, tf, bk, cid = inp
+                l, a = trainer._loss_fn(
+                    scene, off, aux_params, vm, K, img,
                     tf if has_teacher else None, None, None, None,
-                    jnp.int32(0), bk, sh_degree, sizes,
+                    cid, bk, sh_degree, sizes,
                 )
-                return carry + l / batch_size, None
+                acc, vis = carry
+                return (
+                    acc + l / batch_size,
+                    vis + a["visible"].astype(jnp.float32),
+                ), None
 
-            loss, _ = jax.lax.scan(
-                body, jnp.float32(0.0), (vms, ks, images, teachers, bkgds)
+            (loss, vis), _ = jax.lax.scan(
+                body,
+                (jnp.float32(0.0), jnp.zeros((n,), jnp.float32)),
+                (vms, ks, images, teachers, bkgds, cam_ids),
             )
-            return loss
+            return loss, vis
 
         off0 = jnp.zeros((n, 2), jnp.float32)
-        loss, (grads, goff) = jax.value_and_grad(lf, argnums=(0, 1))(
-            scene_shard, off0
-        )
+        aux_params = {"pose": pose_params, "app": app_params}
+        (loss, vis), (grads, goff, gaux) = jax.value_and_grad(
+            lf, argnums=(0, 1, 2), has_aux=True
+        )(scene_shard, off0, aux_params)
         # DP sum over cameras: local losses are already /batch_size, so
         # psum (not pmean) completes the global mean — and per-Gaussian
         # grads from disjoint camera shards add, the DDP allreduce.
+        # Pose/app grads live on disjoint cam_ids rows per shard, so the
+        # same psum IS their DDP allreduce (reference ``:355,361,384``).
         loss = jax.lax.psum(loss, cam_axis)
         grads = jax.lax.psum(grads, cam_axis)
         goff = jax.lax.psum(goff, cam_axis)
+        vis = jax.lax.psum(vis, cam_axis)
+        gaux = jax.lax.psum(gaux, cam_axis)
         if gauss_n > 1:
             # Every gauss-axis device computes the SAME replicated loss,
             # so the psum_scatter transpose of gather_scene's all_gather
             # sums gauss_n identical cotangents — normalize back. The
             # shared feature_proj head is NOT all-gathered (gather_scene
             # keeps the local copy), so its cotangent is counted once
-            # and must not be divided; same for goff, which never
-            # traverses the all_gather.
+            # and must not be divided; same for goff and gaux (pose/app
+            # are replicated inputs that never traverse the all_gather —
+            # each gauss device computes the full gradient once).
             fp_grad = grads.feature_proj
             grads = jax.tree_util.tree_map(lambda g: g / gauss_n, grads)
             grads = grads.replace(feature_proj=fp_grad)
         if gauss_n > 1:
-            # goff is full-N and identical across the gauss axis after
-            # the cam psum ONLY for the replicated offset input; keep
-            # each device's own copy and emit this shard's slice.
+            # goff/vis are full-N and identical across the gauss axis
+            # after the cam psum; emit this shard's slice.
             i = jax.lax.axis_index(gauss_axis)
             goff = jax.lax.dynamic_slice_in_dim(
                 goff, i * (n // gauss_n), n // gauss_n, axis=0
             )
+            vis = jax.lax.dynamic_slice_in_dim(
+                vis, i * (n // gauss_n), n // gauss_n, axis=0
+            )
         grad2d = jnp.linalg.norm(goff * ndc[None, :], axis=1)
         updates, opt_shard = optimizer.update(grads, opt_shard, scene_shard)
         scene_shard = optax.apply_updates(scene_shard, updates)
-        return scene_shard, opt_shard, loss, grad2d
+        if pose_params is not None:
+            pu, pose_opt = pose_optimizer.update(
+                gaux["pose"], pose_opt, pose_params
+            )
+            pose_params = optax.apply_updates(pose_params, pu)
+        if app_params is not None:
+            au, app_opt = app_optimizer.update(
+                gaux["app"], app_opt, app_params
+            )
+            app_params = optax.apply_updates(app_params, au)
+        modules = (pose_params, pose_opt, app_params, app_opt)
+        return scene_shard, opt_shard, modules, loss, grad2d, vis
 
     return jax.jit(step)
+
+
+def refine_sharded(trainer, mesh: Mesh) -> dict:
+    """Between-chunk densification for the sharded trainer (reference
+    densifies in its distributed runs,
+    ``f3dgs/simple_trainer_feature_3dgs.py:586-592,990-1006``).
+
+    Strategy refinement changes N, which no compiled program can
+    express: run it host-side on the GLOBAL (gauss-sharded) arrays —
+    XLA gathers them on read — then re-pad the capacity so the new N
+    still divides the gauss axis, and re-init the optimizer state for
+    the new shape. The caller MUST rebuild the step function
+    (:func:`make_trainer_step_sharded` bakes N and the sharding specs
+    into its closure) and re-estimate sizes before the next chunk.
+
+    Returns the refine info dict (duplicated/split/pruned/alive)."""
+    from tpugs.train.strategy import GradState
+
+    gauss_n = mesh.shape[mesh.axis_names[-1]]
+    info = trainer.refine()
+    n = trainer.scene.num_gaussians
+    if n % gauss_n:
+        cap = -(-n // gauss_n) * gauss_n
+        trainer.scene = trainer.scene.pad_to(cap)
+        trainer.grad_state = GradState.zeros(cap)
+        trainer.opt_state = trainer.optimizer.init(trainer.scene)
+    return info
 
 
 def make_sharded_train_step(

@@ -290,6 +290,22 @@ class Trainer:
             )
             self.app_opt_state = self.app_optimizer.init(self.app_params)
 
+    def module_state(self):
+        """Replicated pose/app module 4-tuple for the sharded step
+        (``dist.shard.make_trainer_step_sharded``); entries are None
+        when the module is disabled."""
+        return (
+            self.pose_params, self.pose_opt_state,
+            self.app_params, self.app_opt_state,
+        )
+
+    def set_module_state(self, modules):
+        """Write back the 4-tuple returned by the sharded step."""
+        (
+            self.pose_params, self.pose_opt_state,
+            self.app_params, self.app_opt_state,
+        ) = modules
+
     # ------------------------------------------------------- observability
     def enable_tensorboard(self, log_dir: str):
         """Scalar/image logging (reference TensorBoard at ``:284,667-680``).
