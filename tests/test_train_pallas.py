@@ -93,23 +93,29 @@ def test_pallas_engine_matches_tiled(tmp_path):
     t_pal._estimate_sizes(common["viewmat"][None], common["K"][None])
 
     def grads_of(t):
-        def lf(s, off):
+        def lf(s, probes):
             return t._loss_fn(
-                s, off, {"pose": None, "app": None},
+                s, probes, {"pose": None, "app": None},
                 common["viewmat"], common["K"], common["image"],
                 common["teacher_feats"], jnp.asarray(pts),
                 jnp.asarray(dep), jnp.asarray(msk), common["cam_id"],
                 common["bkgd"], common["sh_degree"], t._sizes,
             )
 
-        off0 = jnp.zeros((t.scene.num_gaussians, 2), jnp.float32)
-        (loss, _), (gs, goff) = jax.value_and_grad(
+        zeros = jnp.zeros((t.scene.num_gaussians, 2), jnp.float32)
+        probes0 = {"off": zeros, "abs": zeros}
+        (loss, _), (gs, gp) = jax.value_and_grad(
             lf, argnums=(0, 1), has_aux=True
-        )(t.scene, off0)
-        return loss, gs, goff
+        )(t.scene, probes0)
+        return loss, gs, gp["off"], gp["abs"]
 
-    l_ref, g_ref, goff_ref = grads_of(t_ref)
-    l_pal, g_pal, goff_pal = grads_of(t_pal)
+    l_ref, g_ref, goff_ref, gabs_ref = grads_of(t_ref)
+    l_pal, g_pal, goff_pal, gabs_pal = grads_of(t_pal)
+    # the absgrad stat agrees across engines too
+    np.testing.assert_allclose(
+        np.asarray(gabs_pal), np.asarray(gabs_ref),
+        atol=3e-4 * float(np.abs(gabs_ref).max()) + 1e-8, rtol=3e-4,
+    )
     np.testing.assert_allclose(float(l_pal), float(l_ref), rtol=1e-4)
     names = ("means", "quats", "log_scales", "logit_opacities", "sh0",
              "shN", "features", "feature_proj")

@@ -35,6 +35,8 @@ def main(
     pose_opt: bool = False,
     pose_noise: float = 0.0,
     app_opt: bool = False,
+    absgrad: bool = False,
+    grow_grad2d: float = 0.0002,
     compression: str = "",
     lpips_weights: str = "",
     resume: str = "",
@@ -85,6 +87,8 @@ def main(
         pose_opt=pose_opt,
         pose_noise=pose_noise,
         app_opt=app_opt,
+        absgrad=absgrad,
+        grow_grad2d=grow_grad2d,
         compression=compression,
         capacity_multiple=capacity_multiple,
         raster_engine=raster_engine,

@@ -219,13 +219,13 @@ def make_trainer_step_sharded(trainer, mesh: Mesh, batch_size: int):
              bkgds, cam_ids):
         pose_params, pose_opt, app_params, app_opt = modules
 
-        def lf(shard, off, aux_params):
+        def lf(shard, probes, aux_params):
             scene = gather_scene(shard, gauss_axis)
 
             def body(carry, inp):
                 vm, K, img, tf, bk, cid = inp
                 l, a = trainer._loss_fn(
-                    scene, off, aux_params, vm, K, img,
+                    scene, probes, aux_params, vm, K, img,
                     tf if has_teacher else None, None, None, None,
                     cid, bk, sh_degree, sizes,
                 )
@@ -242,11 +242,12 @@ def make_trainer_step_sharded(trainer, mesh: Mesh, batch_size: int):
             )
             return loss, vis
 
-        off0 = jnp.zeros((n, 2), jnp.float32)
+        probes0 = trainer._zero_probes(n)
         aux_params = {"pose": pose_params, "app": app_params}
-        (loss, vis), (grads, goff, gaux) = jax.value_and_grad(
+        (loss, vis), (grads, gprobes, gaux) = jax.value_and_grad(
             lf, argnums=(0, 1, 2), has_aux=True
-        )(scene_shard, off0, aux_params)
+        )(scene_shard, probes0, aux_params)
+        goff = trainer._grow_stat(gprobes)
         # DP sum over cameras: local losses are already /batch_size, so
         # psum (not pmean) completes the global mean — and per-Gaussian
         # grads from disjoint camera shards add, the DDP allreduce.

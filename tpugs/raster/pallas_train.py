@@ -392,22 +392,31 @@ def _make_bwd_kernel(ntx: int, ts: int, d_pad: int, d_aug: int, d_out: int,
                     preferred_element_type=jnp.float32,
                 )
 
-            geom_grads = jnp.concatenate(
-                [
-                    col(d_sig * -(ca * dx + cb * dy)),  # d means2d.x
-                    col(d_sig * -(cc * dy + cb * dx)),  # d means2d.y
-                    col(d_sig * (0.5 * dx * dx)),  # d conic.a
-                    col(d_sig * (dx * dy)),  # d conic.b
-                    col(d_sig * (0.5 * dy * dy)),  # d conic.c
-                    col(d_op_px),  # d opacity
-                    # lane padding: 2 spare rows + whatever lifts d_out to
-                    # its 128-lane floor (Mosaic promotes a <128-lane VMEM
-                    # scratch to 128 lanes but rejects the then-partial
-                    # obuf slice; see _d_out_of)
-                    jnp.zeros((BLOCK, d_out - d_pad - 6), jnp.float32),
-                ],
-                axis=1,
-            )  # (BLOCK, d_out - d_pad)
+            dm_x = d_sig * -(ca * dx + cb * dy)  # per-pixel d means2d.x
+            dm_y = d_sig * -(cc * dy + cb * dx)  # per-pixel d means2d.y
+            parts = [
+                col(dm_x),  # d means2d.x
+                col(dm_y),  # d means2d.y
+                col(d_sig * (0.5 * dx * dx)),  # d conic.a
+                col(d_sig * (dx * dy)),  # d conic.b
+                col(d_sig * (0.5 * dy * dy)),  # d conic.c
+                col(d_op_px),  # d opacity
+                # absgrad densification stat (gsplat's v_means2d_abs,
+                # reference absgrad flag at
+                # f3dgs/simple_trainer_feature_3dgs.py:453-476): abs
+                # applied per PIXEL before the spatial sum — these two
+                # lanes were zero padding, so the stat is free to carry
+                col(jnp.abs(dm_x)),
+                col(jnp.abs(dm_y)),
+            ]
+            if d_out - d_pad - 8 > 0:
+                # lane padding lifting d_out to its 128-lane floor
+                # (Mosaic promotes a <128-lane VMEM scratch to 128 lanes
+                # but rejects the then-partial obuf slice; see _d_out_of)
+                parts.append(
+                    jnp.zeros((BLOCK, d_out - d_pad - 8), jnp.float32)
+                )
+            geom_grads = jnp.concatenate(parts, axis=1)  # (BLOCK, d_out - d_pad)
 
             # dL/dc_b = sum_p w_b(p) g(p)  (MXU: contract pixels)
             d_col = jax.lax.dot_general(
@@ -562,38 +571,39 @@ def _backward_impl(means2d, conics, opacities, colors, background,
     d_m2d = gg[:, 0:2]
     d_con = gg[:, 2:5]
     d_opa = gg[:, 5]
-    return d_m2d, d_con, d_opa, d_col, d_bg
+    d_abs = gg[:, 6:8]  # per-Gaussian sum_p |d means2d(p)| (absgrad)
+    return d_m2d, d_con, d_opa, d_col, d_bg, d_abs
 
 
 # -------------------------------------------------------- custom VJP
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
-def _train_core(means2d, conics, opacities, colors, background, plan,
-                interpret, trans_eps):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def _train_core(means2d, conics, opacities, colors, background, abs_probe,
+                plan, interpret, trans_eps):
     return _forward_impl(
         means2d, conics, opacities, colors, background, plan,
         interpret, trans_eps,
     )
 
 
-def _train_core_fwd(means2d, conics, opacities, colors, background, plan,
-                    interpret, trans_eps):
+def _train_core_fwd(means2d, conics, opacities, colors, background,
+                    abs_probe, plan, interpret, trans_eps):
     out = _forward_impl(
         means2d, conics, opacities, colors, background, plan,
         interpret, trans_eps,
     )
     image, alpha = out
-    res = (means2d, conics, opacities, colors, background, plan,
+    res = (means2d, conics, opacities, colors, background, abs_probe, plan,
            image, alpha)
     return out, res
 
 
 def _train_core_bwd(interpret, trans_eps, res, cots):
-    (means2d, conics, opacities, colors, background, plan,
+    (means2d, conics, opacities, colors, background, abs_probe, plan,
      image, alpha) = res
     g_image, g_alpha = cots
-    d_m2d, d_con, d_opa, d_col, d_bg = _backward_impl(
+    d_m2d, d_con, d_opa, d_col, d_bg, d_abs = _backward_impl(
         means2d, conics, opacities, colors, background, plan,
         interpret, trans_eps, image, alpha, g_image, g_alpha,
     )
@@ -608,6 +618,11 @@ def _train_core_bwd(interpret, trans_eps, res, cots):
         d_opa.astype(opacities.dtype),
         d_col.astype(colors.dtype),
         None if background is None else d_bg.astype(background.dtype),
+        # absgrad probe: its "gradient" is the per-pixel-abs screen-grad
+        # sum — the stat gsplat returns as means2d.absgrad. The forward
+        # never reads the probe (zeros); this slot only smuggles the
+        # side statistic out through autodiff, like the offset2d probe.
+        None if abs_probe is None else d_abs.astype(abs_probe.dtype),
         plan_zeros,
     )
 
@@ -631,7 +646,7 @@ def _render_scene_rgb_jit(scene, viewmat, K, plan, sh_degree, proj_config,
     dirs = view_directions(scene.means, viewmat)
     colors = sh_mod.sh_to_color(scene.colors_all, dirs, sh_degree)
     return _train_core(
-        proj.means2d, proj.conics, opac, colors, None, plan,
+        proj.means2d, proj.conics, opac, colors, None, None, plan,
         interpret, TRANS_EPS,
     )
 
@@ -676,6 +691,7 @@ def render_plan_train(
     background: Optional[jax.Array] = None,  # (D,)
     interpret: bool = False,
     trans_eps: float = TRANS_EPS,
+    abs_probe: Optional[jax.Array] = None,  # (N, 2) zeros
 ) -> Tuple[jax.Array, jax.Array]:
     """Differentiable fused render for one camera on the Pallas path.
 
@@ -683,8 +699,15 @@ def render_plan_train(
     analytic compositing adjoint as a Pallas kernel and reduces
     per-intersection gradient rows scatter-free (slot-table gather),
     yielding d{means2d, conics, opacities, colors, background}.
+
+    ``abs_probe``: pass (N, 2) zeros and differentiate w.r.t. it to
+    receive the absgrad densification stat — per-Gaussian
+    ``sum_p |dL/d means2d(p)|`` with the abs applied per pixel (gsplat's
+    ``means2d.absgrad``; reference flag at
+    ``f3dgs/simple_trainer_feature_3dgs.py:453-476``). The probe never
+    affects the rendered output.
     """
     return _train_core(
-        means2d, conics, opacities, colors, background, plan,
+        means2d, conics, opacities, colors, background, abs_probe, plan,
         interpret, trans_eps,
     )

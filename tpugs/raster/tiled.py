@@ -216,10 +216,10 @@ def render_tiled_autodiff(
     return _finalize(imgs, transs, background, ntx, nty, ts, width, height)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
 def _render_core(
     means2d, conics, opacities, colors, sorted_gid, tile_starts,
-    background, width, height, max_blocks, config,
+    background, abs_probe, width, height, max_blocks, config,
 ):
     ts = config.tile_size
     ntx, nty = tile_grid(width, height, ts)
@@ -232,7 +232,7 @@ def _render_core(
 
 def _render_core_fwd(
     means2d, conics, opacities, colors, sorted_gid, tile_starts,
-    background, width, height, max_blocks, config,
+    background, abs_probe, width, height, max_blocks, config,
 ):
     ts = config.tile_size
     ntx, nty = tile_grid(width, height, ts)
@@ -242,13 +242,14 @@ def _render_core_fwd(
     )
     out = _finalize(imgs, transs, background, ntx, nty, ts, width, height)
     res = (means2d, conics, opacities, colors, sorted_gid, tile_starts,
-           background, imgs, transs)
+           background, abs_probe, imgs, transs)
     return out, res
 
 
 def _render_core_bwd(width, height, max_blocks, config, res, cots):
     (means2d, conics, opacities, colors, sorted_gid, tile_starts,
-     background, imgs, transs) = res
+     background, abs_probe, imgs, transs) = res
+    with_abs = abs_probe is not None
     g_image, g_alpha = cots
     ts, B, TC = config.tile_size, config.block_size, config.tiles_per_chunk
     ntx, nty = tile_grid(width, height, ts)
@@ -306,6 +307,7 @@ def _render_core_bwd(width, height, max_blocks, config, res, cots):
     d_con0 = jnp.zeros((n + 1, 3), jnp.float32)
     d_opa0 = jnp.zeros((n + 1,), jnp.float32)
     d_col0 = jnp.zeros((n + 1, D), jnp.float32)
+    d_abs0 = jnp.zeros((n + 1, 2), jnp.float32)
 
     def chunk_body(grads, xs):
         chunk_start, g_chunk, ht_chunk, grem_chunk = xs
@@ -318,7 +320,7 @@ def _render_core_bwd(width, height, max_blocks, config, res, cots):
 
         def block_body(carry, b):
             trans, grem, grads = carry
-            d_m2d, d_con, d_opa, d_col = grads
+            d_m2d, d_con, d_opa, d_col, d_abs = grads
             idx = t_start[:, None] + b * B + jnp.arange(B, dtype=jnp.int32)
             in_span = idx < t_end[:, None]
             idx_safe = jnp.clip(idx, 0, T_flat - 1)
@@ -377,9 +379,32 @@ def _render_core_bwd(width, height, max_blocks, config, res, cots):
             d_opa = d_opa.at[gid_f].add(d_opa_blk.reshape(-1))
             d_col = d_col.at[gid_f].add(d_col_blk.reshape(-1, D))
 
+            if with_abs:
+                # absgrad stat: abs applied to the PER-PIXEL screen
+                # gradient d_alpha(p) * dalpha(p)/d mean2d before the
+                # spatial sum (gsplat accumulates fabs(v_xy) per pixel).
+                # jvp with a ones tangent yields the per-pixel partials
+                # (each alpha(p) depends on exactly its own gaussian's
+                # mean), including the clip semantics of evaluate_alpha.
+                jx = jax.jvp(
+                    lambda m: alpha_of(m, my, con, opa),
+                    (mx,), (jnp.ones_like(mx),),
+                )[1]
+                jy = jax.jvp(
+                    lambda m: alpha_of(mx, m, con, opa),
+                    (my,), (jnp.ones_like(my),),
+                )[1]
+                abs_x = jnp.sum(jnp.abs(d_alpha * jx), axis=2)  # (TC, B)
+                abs_y = jnp.sum(jnp.abs(d_alpha * jy), axis=2)
+                d_abs = d_abs.at[gid_f].add(
+                    jnp.stack(
+                        [abs_x.reshape(-1), abs_y.reshape(-1)], axis=-1
+                    )
+                )
+
             trans = trans * cum[:, -1, :]
             grem = grem - cs[:, -1, :]
-            return (trans, grem, (d_m2d, d_con, d_opa, d_col)), None
+            return (trans, grem, (d_m2d, d_con, d_opa, d_col, d_abs)), None
 
         trans0 = jnp.ones((TC, tspx), jnp.float32)
         (_, _, grads), _ = jax.lax.scan(
@@ -390,10 +415,10 @@ def _render_core_bwd(width, height, max_blocks, config, res, cots):
 
     chunk_starts = jnp.arange(n_chunks, dtype=jnp.int32) * TC
     grads, _ = jax.lax.scan(
-        chunk_body, (d_m2d0, d_con0, d_opa0, d_col0),
+        chunk_body, (d_m2d0, d_con0, d_opa0, d_col0, d_abs0),
         (chunk_starts, g_tc, hterm_c, grem_c),
     )
-    d_m2d, d_con, d_opa, d_col = (g[:n] for g in grads)
+    d_m2d, d_con, d_opa, d_col, d_abs = (g[:n] for g in grads)
 
     def int_zero(x):
         return np.zeros(x.shape, jax.dtypes.float0)
@@ -403,6 +428,7 @@ def _render_core_bwd(width, height, max_blocks, config, res, cots):
         d_opa.astype(opacities.dtype), d_col.astype(colors.dtype),
         int_zero(sorted_gid), int_zero(tile_starts),
         None if background is None else d_bg.astype(background.dtype),
+        None if abs_probe is None else d_abs.astype(abs_probe.dtype),
     )
 
 
@@ -421,12 +447,19 @@ def render_tiled(
     max_blocks: int,  # static: ceil(max per-tile span / block_size)
     config: TileConfig = TileConfig(),
     background: Optional[jax.Array] = None,  # (D,)
+    abs_probe: Optional[jax.Array] = None,  # (N, 2) zeros
 ) -> Tuple[jax.Array, jax.Array]:
     """Returns (image (H, W, D), alpha (H, W)). Differentiable via the
-    recompute custom VJP (see module docstring)."""
+    recompute custom VJP (see module docstring).
+
+    ``abs_probe``: (N, 2) zeros; differentiating w.r.t. it yields the
+    absgrad stat — per-Gaussian ``sum_p |dL/d means2d(p)|``, abs per
+    pixel (gsplat's ``means2d.absgrad``; reference
+    ``f3dgs/simple_trainer_feature_3dgs.py:453-476``). Never affects
+    the rendered output."""
     return _render_core(
         means2d, conics, opacities, colors, sorted_gid, tile_starts,
-        background, width, height, max_blocks, config,
+        background, abs_probe, width, height, max_blocks, config,
     )
 
 

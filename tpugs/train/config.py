@@ -84,6 +84,11 @@ class TrainConfig:
     refine_stop_iter: int = 15_000
     refine_every: int = 100
     grow_grad2d: float = 0.0002
+    # Use the per-pixel-abs screen gradient (gsplat's means2d.absgrad;
+    # reference f3dgs/simple_trainer_feature_3dgs.py:453-476) as the
+    # grow criterion instead of the signed sum. gsplat pairs this with
+    # a ~4x higher grow_grad2d (0.0008) — set both together.
+    absgrad: bool = False
     grow_scale3d: float = 0.01
     prune_opa: float = 0.005
     prune_scale3d: float = 0.1

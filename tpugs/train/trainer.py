@@ -349,6 +349,18 @@ class Trainer:
         self._sizes = (bucket(int(mc * margin)), bucket(int(mb * margin)))
 
     # --------------------------------------------------------- train step
+    def _zero_probes(self, n: int) -> dict:
+        """Zero screen-gradient probes for :meth:`_loss_fn`; the "abs"
+        slot is live only under ``cfg.absgrad`` (gsplat's absgrad flag,
+        reference ``:453-476``)."""
+        off = jnp.zeros((n, 2), jnp.float32)
+        return {"off": off, "abs": off if self.cfg.absgrad else None}
+
+    def _grow_stat(self, gprobes: dict) -> jax.Array:
+        """Densification stat per cfg.absgrad: the per-pixel-abs screen
+        gradient when enabled, else the signed one."""
+        return gprobes["abs"] if self.cfg.absgrad else gprobes["off"]
+
     def _apply_pose_delta(self, c2w: jax.Array, d: jax.Array) -> jax.Array:
         """camtoworld @ [6d-rot | t] (reference CameraOptModule forward)."""
         from tpugs.train.modules import rotation_6d_to_matrix
@@ -360,11 +372,18 @@ class Trainer:
         return c2w @ tf
 
     def _loss_fn(
-        self, scene: GaussianScene, offset2d, aux_params, viewmat, K, image,
+        self, scene: GaussianScene, probes, aux_params, viewmat, K, image,
         teacher_feats, points, point_depths, point_mask, cam_id, bkgd,
         sh_degree, sizes,
     ):
+        """``probes``: {"off": (N, 2) zeros, "abs": (N, 2) zeros or None}.
+        d loss / d probes["off"] is the signed screen-space gradient
+        (gsplat's means2d.grad densification stat); d / d probes["abs"]
+        is the per-pixel-abs variant (means2d.absgrad, reference
+        ``f3dgs/simple_trainer_feature_3dgs.py:453-476``)."""
         cfg = self.cfg
+        offset2d = probes["off"]
+        abs_probe = probes.get("abs")
         # Camera pose residuals (reference :555-561): noise perturbation
         # first (fixed), then the learned adjustment, both on camtoworld.
         pose_params = aux_params.get("pose")
@@ -415,6 +434,7 @@ class Trainer:
                 proj.means2d, proj.conics, opac, allc, plan,
                 interpret=self._interpret,
                 trans_eps=cfg.pallas_trans_eps,
+                abs_probe=abs_probe,
             )
         else:
             max_cover, max_blocks = sizes
@@ -427,6 +447,9 @@ class Trainer:
                 proj.means2d[order], proj.conics[order], opac[order],
                 allc[order], binning.sorted_gid, binning.tile_starts,
                 self.width, self.height, max_blocks, self.tile_config,
+                # depth-ordered like the other inputs: autodiff of the
+                # gather unpermutes the absgrad back to original order
+                abs_probe=None if abs_probe is None else abs_probe[order],
             )
         rgb = img[..., :3]
         off = 3
@@ -494,26 +517,26 @@ class Trainer:
         points, point_depths, point_mask, cam_id, bkgd,
         sh_degree, sizes, with_depth,
     ):
-        def lf(s, off, aux_params):
+        def lf(s, probes, aux_params):
             return self._loss_fn(
-                s, off, aux_params, viewmat, K, image, teacher_feats,
+                s, probes, aux_params, viewmat, K, image, teacher_feats,
                 points if with_depth else None,
                 point_depths if with_depth else None,
                 point_mask if with_depth else None,
                 cam_id, bkgd, sh_degree, sizes,
             )
 
-        offset0 = jnp.zeros((scene.num_gaussians, 2), jnp.float32)
+        probes0 = self._zero_probes(scene.num_gaussians)
         aux_params = {"pose": pose_params, "app": app_params}
-        (loss, aux), (grads, goff, gaux) = jax.value_and_grad(
+        (loss, aux), (grads, gprobes, gaux) = jax.value_and_grad(
             lf, argnums=(0, 1, 2), has_aux=True
-        )(scene, offset0, aux_params)
+        )(scene, probes0, aux_params)
         # gsplat's DefaultStrategy compares NDC-scaled screen grads
         # (pixel grads x [W/2, H/2]) against grow_grad2d; match its units
         ndc_scale = jnp.array(
             [self.width / 2.0, self.height / 2.0], jnp.float32
         )
-        grad2d = jnp.linalg.norm(goff * ndc_scale, axis=1)
+        grad2d = jnp.linalg.norm(self._grow_stat(gprobes) * ndc_scale, axis=1)
         updates, opt_state = self.optimizer.update(grads, opt_state, scene)
         scene = optax.apply_updates(scene, updates)
         if pose_params is not None:
@@ -697,21 +720,23 @@ class Trainer:
             pdep = point_depths[ci] if with_depth else None
             pmask = point_masks[ci] if with_depth else None
 
-            def lf(s, off, aux_params):
+            def lf(s, probes, aux_params):
                 return self._loss_fn(
-                    s, off, aux_params, viewmat, K, image, teacher_feats,
+                    s, probes, aux_params, viewmat, K, image, teacher_feats,
                     pts, pdep, pmask, cam_id, bkgd, sh_degree, sizes,
                 )
 
-            offset0 = jnp.zeros((sc.num_gaussians, 2), jnp.float32)
+            probes0 = self._zero_probes(sc.num_gaussians)
             aux_params = {"pose": pp, "app": ap}
-            (loss, aux), (grads, goff, gaux) = jax.value_and_grad(
+            (loss, aux), (grads, gprobes, gaux) = jax.value_and_grad(
                 lf, argnums=(0, 1, 2), has_aux=True
-            )(sc, offset0, aux_params)
+            )(sc, probes0, aux_params)
             ndc_scale = jnp.array(
                 [self.width / 2.0, self.height / 2.0], jnp.float32
             )
-            grad2d = jnp.linalg.norm(goff * ndc_scale, axis=1)
+            grad2d = jnp.linalg.norm(
+                self._grow_stat(gprobes) * ndc_scale, axis=1
+            )
             updates, opt = self.optimizer.update(grads, opt, sc)
             sc = optax.apply_updates(sc, updates)
             if pp is not None:
