@@ -218,6 +218,29 @@ def main():
         f"gaussian-splats/s={gaussians_per_s:.3e} finite={finite} "
         f"best_group_s={best_dt:.3f}"
     ))
+    # Speed-of-light accounting (BASELINE.json north-star): analytic
+    # per-stage floors at this shape; reduce at the measured gather
+    # floor, compute stages at the bf16 peak.
+    from tpugs.utils.profiling import GATHER_FLOOR_GBPS, sol_estimate
+
+    slot_rows = None
+    if sizes.classes:
+        slot_rows = sum(int(c) * int(s) for c, s in sizes.classes)
+    sol = sol_estimate(
+        sizes.T_padded, args.width * args.height, args.feature_dim,
+        slot_rows=slot_rows,
+    )
+    meas_ms = 1e3 / views_per_s
+    print(
+        "# SOL: per-view floor={:.1f} ms (render {:.1f}, encode {:.1f}, "
+        "adjoint {:.1f}, plan {:.1f}, reduce {:.1f} @ {:.0f} GB/s gather "
+        "floor); measured {:.1f} ms/view -> {:.0f}% of speed-of-light".format(
+            sol["total"] * 1e3, sol["render"] * 1e3, sol["encode"] * 1e3,
+            sol["adjoint"] * 1e3, sol["plan"] * 1e3, sol["reduce"] * 1e3,
+            GATHER_FLOOR_GBPS, meas_ms, 100.0 * sol["total"] * 1e3 / meas_ms,
+        ),
+        flush=True,
+    )
     sys.exit(0)
 
 

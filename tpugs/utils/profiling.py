@@ -158,6 +158,56 @@ def reduce_model(n_slots: int, d_chan: int) -> dict:
     return {"flops": flops, "hbm_bytes": hbm}
 
 
+# Empirical floor for strided row gathers on this chip/transport,
+# measured by scripts/exp_reduce.py in round 2 (the HBM spec rate is
+# unreachable for gather-shaped traffic; this is the honest denominator
+# for the reduce stage's %-of-speed-of-light).
+GATHER_FLOOR_GBPS = 46.0
+
+
+def sol_estimate(
+    n_isect: int,
+    n_pix: int,
+    d_feat: int,
+    slot_rows: Optional[int] = None,
+    gather_gbps: float = GATHER_FLOOR_GBPS,
+    peaks: Dict[str, float] = PEAKS_V5E,
+) -> dict:
+    """Aggregate per-view speed-of-light for the fused back-projection.
+
+    For each stage, SOL seconds = max(flops / bf16 peak, bytes / the
+    binding bandwidth) from the analytic models above; the reduce uses
+    the measured gather floor instead of the HBM spec (row gathers
+    cannot stream). Returns per-stage seconds + ``total`` — the honest
+    denominator for the bench's "% of speed-of-light" line
+    (BASELINE.json's north-star is per-chip speed-of-light)."""
+    peak_f = peaks["tflops_bf16"] * 1e12
+    peak_b = peaks["hbm_gbps"] * 1e9
+
+    def sol(m, bw=None):
+        b = (bw or peaks["hbm_gbps"]) * 1e9
+        return max(m["flops"] / peak_f, m["hbm_bytes"] / b)
+
+    d = d_feat + 1  # ones-channel denominator rides along
+    stages = {
+        "render": sol(render_model(n_isect, n_pix, 3)),
+        # encoder: one n_pix x 3 @ 3 x d_feat matmul + image traffic
+        "encode": sol({
+            "flops": 2.0 * n_pix * 3 * d_feat,
+            "hbm_bytes": n_pix * 2.0 * (3 + d_feat),
+        }),
+        "adjoint": sol(adjoint_model(n_isect, d)),
+        # plan: expand + one uint32 key sort + scatter over the
+        # intersection list (~6 HBM passes of key+payload)
+        "plan": sol({"flops": 0.0, "hbm_bytes": n_isect * 48.0}),
+        "reduce": sol(
+            reduce_model(slot_rows or n_isect, d), bw=gather_gbps
+        ),
+    }
+    stages["total"] = sum(stages.values())
+    return stages
+
+
 @dataclass
 class StageTimer:
     """Accumulates (stage, seconds [, flops, bytes]) rows; ``report()``
