@@ -524,3 +524,58 @@ def test_choose_classes_properties():
                 need = int(h[l]) if l < len(h) else 0
                 assert cum >= need, (trial, cls, l, need, cum)
             cum += c
+
+
+def test_reduce_contribs_pallas_matches_xla():
+    """The fused stripe-sum reduce kernel (XLA row-gather + Pallas
+    per-column-block accumulate) equals the grouped XLA reduce, on a
+    multi-class sized plan, for both contrib dtypes."""
+    from tpugs.lift.pallas_batch import estimate_sizes_pallas
+    from tpugs.raster.adjoint import image_to_tiles
+    from tpugs.raster.pallas_tiled import (
+        adjoint_pallas_raw,
+        build_plan_pure,
+        pack_isect_all,
+        reduce_contribs,
+        reduce_contribs_pallas,
+    )
+    from tpugs.raster.projection import ProjectionConfig, project
+
+    scene, cams = _setup(n=600, seed=3)
+    pc = ProjectionConfig()
+    sizes = estimate_sizes_pallas(scene, cams, tile_size=16)
+    vm, K = cams.viewmats[0], cams.Ks[0]
+    plan = build_plan_pure(*_args(scene), vm, K, W, H, sizes, pc, 16)
+    proj = project(*_args(scene), vm, K, W, H, pc)
+    packed = pack_isect_all(proj, None, plan)
+    rng = np.random.default_rng(7)
+    feats = jnp.asarray(rng.normal(size=(H, W, 128)).astype(np.float32))
+    ft = image_to_tiles(feats, 16)
+    for dt in (jnp.float32, jnp.bfloat16):
+        contribs = adjoint_pallas_raw(
+            packed, ft.astype(dt), plan, interpret=True, out_dtype=dt
+        )
+        a = np.asarray(reduce_contribs(contribs, plan))
+        b = np.asarray(reduce_contribs_pallas(contribs, plan, interpret=True))
+        np.testing.assert_allclose(b, a, atol=2e-5)
+
+
+def test_backproject_reduce_engine_pallas_matches():
+    """backproject_view_pallas(reduce_engine='pallas') equals the XLA
+    reduce path end to end (weight + feature sums)."""
+    scene, cams = _setup(n=150)
+    vm, K = cams.viewmats[0], cams.Ks[0]
+    D = 20
+    feats = jnp.asarray(
+        np.random.default_rng(4).normal(size=(H, W, D)).astype(np.float32)
+    )
+    plan = build_pallas_plan(*_args(scene), vm, K, W, H)
+    kw = dict(d_chunk=128, interpret=True, trans_eps=0.0)
+    fs_x, ws_x = backproject_view_pallas(
+        *_args(scene), feats, vm, K, plan, reduce_engine="xla", **kw
+    )
+    fs_p, ws_p = backproject_view_pallas(
+        *_args(scene), feats, vm, K, plan, reduce_engine="pallas", **kw
+    )
+    np.testing.assert_allclose(np.asarray(fs_p), np.asarray(fs_x), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ws_p), np.asarray(ws_x), atol=1e-5)

@@ -1328,6 +1328,137 @@ def reduce_contribs(
     return acc[inv]
 
 
+def _make_stripe_sum_kernel(d: int, stripe_offs):
+    """stripe_offs: static ((base_row, cap_rows), ...) with caps
+    monotone nonincreasing — for any column block, the valid stripes
+    (cap > col) are a PREFIX of the list, so the double-buffer parity
+    can be the static unroll index."""
+    S = len(stripe_offs)
+
+    def kernel(gathered_hbm, out_ref, buf, sem):
+        col = pl.program_id(0) * BLOCK
+
+        def dma(slot, s):
+            return pltpu.make_async_copy(
+                gathered_hbm.at[pl.ds(stripe_offs[s][0] + col, BLOCK), :],
+                buf.at[slot],
+                sem.at[slot],
+            )
+
+        out_ref[:] = jnp.zeros((BLOCK, d), jnp.float32)
+
+        @pl.when(col < stripe_offs[0][1])
+        def _():
+            dma(0, 0).start()
+
+        for s in range(S):
+            slot = s % 2
+            if s + 1 < S:
+
+                @pl.when(col < stripe_offs[s + 1][1])
+                def _(s=s, slot=slot):
+                    dma(1 - slot, s + 1).start()
+
+            @pl.when(col < stripe_offs[s][1])
+            def _(s=s, slot=slot):
+                dma(slot, s).wait()
+                out_ref[:] += buf[slot].astype(jnp.float32)
+
+    return kernel
+
+
+def _reduce_groups(caps, cover: int, n: int):
+    """Group adjacent cover rows with equal (128-padded) caps.
+    Returns [(j0, j1, cap_pad), ...]."""
+    caps_pad = [
+        min(cdiv(min(max(int(c), 1), n), BLOCK) * BLOCK, cdiv(n, BLOCK) * BLOCK)
+        for c in caps
+    ]
+    groups = []
+    j = 0
+    while j < cover:
+        j1 = j
+        while j1 + 1 < cover and caps_pad[j1 + 1] == caps_pad[j]:
+            j1 += 1
+        groups.append((j, j1 + 1, caps_pad[j]))
+        j = j1 + 1
+    return groups
+
+
+def reduce_contribs_pallas(
+    contribs: jax.Array,  # (T_padded + BLOCK, D)
+    plan: PallasPlan,
+    interpret: bool = False,
+) -> jax.Array:
+    """Per-Gaussian sums: XLA row-gather + a Pallas stripe-sum kernel.
+    Returns (N, D) in ORIGINAL Gaussian order (same contract as
+    :func:`reduce_contribs`).
+
+    The row gather itself runs at the TPU's random-row DMA rate and is
+    irreducible in this layout, but the XLA reduce then burns another
+    ~60 ms re-reading the materialized rows through grouped slice-adds
+    over an (N, D) f32 accumulator (with barriers between groups for
+    memory). Here the gather materializes ALL cover prefixes at once
+    (row j of a column lands at group_base + j*cap + column) and the
+    kernel sums, per 128-column block, its ≤cover_pad stripes with
+    aligned (128, D) double-buffered DMAs — each gathered byte is read
+    once, each output row written once, no (N, D) read-modify-write.
+    Per-row DMAs are NOT an option: Mosaic requires HBM slices at
+    sublane/1024-element granularity, so scattered single rows can only
+    move through a gather."""
+    slots = plan.slots  # (cover_pad, N) cover-major; cover-sorted cols
+    cover, n = slots.shape
+    D = contribs.shape[-1]
+    n_pad = cdiv(max(n, 1), BLOCK) * BLOCK
+    if n_pad != n:
+        slots = jnp.pad(
+            slots, ((0, 0), (0, n_pad - n)), constant_values=plan.T_padded
+        )
+    n_blocks = n_pad // BLOCK
+    cover_caps = plan.cover_caps
+
+    def cap_of(j):
+        cap = cover_caps[j] if j < len(cover_caps) else n
+        return min(max(int(cap), 1), n)
+
+    groups = _reduce_groups([cap_of(j) for j in range(cover)], cover, n_pad)
+
+    # Gather index vector: per group, rows j0..j1 of the slot table,
+    # each sliced to the padded cap (extra columns index the dummy zero
+    # row at T_padded).
+    idx_parts = []
+    base = 0
+    stripe_offs = []  # per group: list of (stripe base row, cap)
+    for (j0, j1, cap) in groups:
+        k = j1 - j0
+        idx_parts.append(
+            jax.lax.slice_in_dim(slots[j0:j1], 0, cap, axis=1).reshape(-1)
+        )
+        for j in range(k):
+            stripe_offs.append((base + j * cap, cap))
+        base += k * cap
+    flat = jnp.concatenate(idx_parts) if len(idx_parts) > 1 else idx_parts[0]
+    gathered = contribs[flat]  # (R, D) — THE random-row pass
+
+    acc = pl.pallas_call(
+        _make_stripe_sum_kernel(D, tuple(stripe_offs)),
+        grid=(n_blocks,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((BLOCK, D), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((n_pad, D), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, BLOCK, D), contribs.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(gathered)
+    acc = acc[:n]
+    inv = jnp.zeros((n,), jnp.int32).at[plan.slot_order].set(
+        jnp.arange(n, dtype=jnp.int32)
+    )
+    return acc[inv]
+
+
 # ------------------------------------------------------- high-level API
 
 
@@ -1401,6 +1532,7 @@ def backproject_view_pallas(
     trans_eps: float = TRANS_EPS,
     contrib_dtype=jnp.float32,
     packed: Optional[jax.Array] = None,
+    reduce_engine: str = "xla",  # "xla" | "pallas"
 ) -> Tuple[jax.Array, jax.Array]:
     """Fused adjoint for one camera: (feat_sums (N, D), weight_sums (N,))
     in original Gaussian order. A ones-channel is prepended to the
@@ -1456,14 +1588,23 @@ def backproject_view_pallas(
             trans_eps=trans_eps,
             out_dtype=contrib_dtype,
         )
-        # Only the kernel needs the lane-aligned channel pad; slicing
-        # the zero columns off before the reduce cuts the slot-table
-        # gather's bytes by the pad fraction (~20% at D=512, d_chunk
-        # 640: 513 real channels).
         real = min(d_chunk, D + 1 - c0)
-        if real < d_chunk:
-            contribs = jax.lax.slice_in_dim(contribs, 0, real, axis=1)
-        feat_parts.append(reduce_contribs(contribs, plan))
+        if reduce_engine == "pallas":
+            # The kernel's row DMAs are row-rate-bound, not byte-bound:
+            # gather at full lane-padded width (no pre-slice pass) and
+            # drop the zero pad columns on the (N, d_chunk) output.
+            red = reduce_contribs_pallas(contribs, plan, interpret=interpret)
+            if real < d_chunk:
+                red = jax.lax.slice_in_dim(red, 0, real, axis=1)
+        else:
+            # Only the kernel needs the lane-aligned channel pad;
+            # slicing the zero columns off before the reduce cuts the
+            # slot-table gather's bytes by the pad fraction (~20% at
+            # D=512, d_chunk 640: 513 real channels).
+            if real < d_chunk:
+                contribs = jax.lax.slice_in_dim(contribs, 0, real, axis=1)
+            red = reduce_contribs(contribs, plan)
+        feat_parts.append(red)
     all_sums = jnp.concatenate(feat_parts, axis=-1)
     weight_sums = all_sums[:, 0]
     feat_sums = all_sums[:, 1 : 1 + D]
