@@ -69,6 +69,7 @@ def backproject_one_view_pallas(
     interpret: bool = False,
     tile_size: int = DEFAULT_TILE,
     contrib_dtype=jnp.bfloat16,
+    reduce_engine: str = "pallas",
 ) -> Tuple[jax.Array, jax.Array]:
     """Fused per-view pipeline on the Pallas kernels. Traceable.
     Returns (feat_sums (N, D), weight_sums (N,)).
@@ -136,6 +137,7 @@ def backproject_one_view_pallas(
         trans_eps=trans_eps,
         contrib_dtype=contrib_dtype,
         packed=packed,
+        reduce_engine=reduce_engine,
     )
 
 
@@ -151,6 +153,7 @@ def backproject_one_view_pallas(
         "interpret",
         "tile_size",
         "contrib_dtype",
+        "reduce_engine",
     ),
 )
 def backproject_views_pallas(
@@ -167,6 +170,7 @@ def backproject_views_pallas(
     interpret: bool = False,
     tile_size: int = DEFAULT_TILE,
     contrib_dtype=jnp.bfloat16,
+    reduce_engine: str = "pallas",
 ) -> Tuple[jax.Array, jax.Array]:
     """All views in one jitted scan. Returns (num (N, D), den (N,))."""
     n = scene.num_gaussians
@@ -180,7 +184,7 @@ def backproject_views_pallas(
         fs, ws = backproject_one_view_pallas(
             scene, vm, K, width, height, encoder, sizes,
             d_chunk, proj_config, interpret=interpret, tile_size=tile_size,
-            contrib_dtype=contrib_dtype,
+            contrib_dtype=contrib_dtype, reduce_engine=reduce_engine,
         )
         return (num + wgt * fs, den + wgt * ws), None
 
@@ -197,11 +201,13 @@ def backproject_views_pallas(
     static_argnames=(
         "width", "height", "encoder", "sizes", "d_chunk", "proj_config",
         "interpret", "tile_size", "contrib_dtype", "group_size",
+        "reduce_engine",
     ),
 )
 def _backproject_group(
     scene, viewmats, Ks, width, height, encoder, sizes,
     d_chunk, proj_config, interpret, tile_size, contrib_dtype, group_size,
+    reduce_engine="pallas",
 ):
     """One dispatch over ``group_size`` views, serialized with
     optimization barriers so only one view's transients are live
@@ -224,7 +230,7 @@ def _backproject_group(
         fs, ws = backproject_one_view_pallas(
             sci, viewmats[i], Ks[i], width, height, encoder, sizes,
             d_chunk, proj_config, interpret=interpret, tile_size=tile_size,
-            contrib_dtype=contrib_dtype,
+            contrib_dtype=contrib_dtype, reduce_engine=reduce_engine,
         )
         fs = jax.lax.optimization_barrier(fs)
         ws = jax.lax.optimization_barrier(ws)
@@ -247,6 +253,7 @@ def backproject_views_grouped(
     interpret: bool = False,
     tile_size: int = DEFAULT_TILE,
     contrib_dtype=jnp.bfloat16,
+    reduce_engine: str = "pallas",
 ) -> Tuple[jax.Array, jax.Array]:
     """Production multi-view back-projection: host loop over jitted
     groups of ``group_size`` views (amortizes dispatch latency — worth
@@ -271,13 +278,14 @@ def backproject_views_grouped(
             fs, ws = _backproject_group(
                 scene, vms, ks, width, height, encoder, sizes,
                 d_chunk, proj_config, interpret, tile_size, contrib_dtype, g,
+                reduce_engine,
             )
             # subtract the duplicated contributions
             fs_d, ws_d = backproject_one_view_pallas(
                 scene, viewmats[c0 + take - 1], Ks[c0 + take - 1],
                 width, height, encoder, sizes, d_chunk, proj_config,
                 interpret=interpret, tile_size=tile_size,
-                contrib_dtype=contrib_dtype,
+                contrib_dtype=contrib_dtype, reduce_engine=reduce_engine,
             )
             fs = fs - (g - take) * fs_d
             ws = ws - (g - take) * ws_d
@@ -286,6 +294,7 @@ def backproject_views_grouped(
                 scene, viewmats[c0 : c0 + g], Ks[c0 : c0 + g],
                 width, height, encoder, sizes,
                 d_chunk, proj_config, interpret, tile_size, contrib_dtype, g,
+                reduce_engine,
             )
         num = num + fs
         den = den + ws
