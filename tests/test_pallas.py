@@ -579,3 +579,42 @@ def test_backproject_reduce_engine_pallas_matches():
     )
     np.testing.assert_allclose(np.asarray(fs_p), np.asarray(fs_x), atol=1e-5)
     np.testing.assert_allclose(np.asarray(ws_p), np.asarray(ws_x), atol=1e-5)
+
+
+def test_pixelwise_tile_path_matches_image_path():
+    """backproject_one_view_pallas with a pixelwise encoder (tile-layout
+    feature path, kernel-masked pad pixels) equals the same encoder
+    forced down the image path."""
+    from tpugs.encoders.base import LinearRGBEncoder
+    from tpugs.lift.pallas_batch import (
+        backproject_one_view_pallas,
+        estimate_sizes_pallas,
+    )
+
+    class ImageOnly:
+        """Same map, pixelwise flag off -> image path."""
+
+        def __init__(self, inner):
+            self._inner = inner
+            self.feature_dim = inner.feature_dim
+
+        def __call__(self, image):
+            return self._inner(image)
+
+    # W=64, H=48 with tile 32 -> bottom tile row is half out of crop:
+    # exercises the pad-pixel masking.
+    scene, cams = _setup(n=200)
+    enc = LinearRGBEncoder(feature_dim=16, seed=1)
+    assert enc.pixelwise
+    sizes = estimate_sizes_pallas(scene, cams, tile_size=32)
+    kw = dict(d_chunk=32, interpret=True, tile_size=32,
+              contrib_dtype=jnp.float32)
+    vm, K = cams.viewmats[0], cams.Ks[0]
+    fs_t, ws_t = backproject_one_view_pallas(
+        scene, vm, K, W, H, enc, sizes, **kw
+    )
+    fs_i, ws_i = backproject_one_view_pallas(
+        scene, vm, K, W, H, ImageOnly(enc), sizes, **kw
+    )
+    np.testing.assert_allclose(np.asarray(ws_t), np.asarray(ws_i), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(fs_t), np.asarray(fs_i), atol=1e-5)

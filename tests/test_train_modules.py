@@ -121,7 +121,7 @@ def test_depth_loss_ignores_padding():
         m_ = np.zeros((cap,), np.float32)
         p[:3], d[:3], m_[:3] = pts, deps, 1.0
         out, _ = tr._loss_fn(
-            tr.scene, jnp.zeros((tr.scene.num_gaussians, 2)),
+            tr.scene, tr._zero_probes(tr.scene.num_gaussians),
             {"pose": None, "app": None},
             jnp.asarray(gt["viewmat"]), jnp.asarray(gt["K"]),
             jnp.asarray(gt["image"]), None,

@@ -22,6 +22,11 @@ import numpy as np
 @runtime_checkable
 class FeatureEncoder(Protocol):
     feature_dim: int
+    # pixelwise=True marks encoders that map each pixel independently
+    # (any (..., 3) -> (..., feature_dim), finite on finite input): the
+    # fused back-projection then runs them on the rasterizer's native
+    # tile layout, skipping both image<->tile transpose passes.
+    # Spatial encoders (ViTs) leave it False/absent.
 
     def __call__(self, image: jax.Array) -> jax.Array:
         """(H, W, 3) -> (H, W, feature_dim)."""
@@ -32,6 +37,7 @@ class GrayscaleEncoder:
     """1-d luminance features — the minimal end-to-end probe."""
 
     feature_dim = 1
+    pixelwise = True
 
     def __call__(self, image: jax.Array) -> jax.Array:
         w = jnp.array([0.299, 0.587, 0.114], image.dtype)
@@ -42,6 +48,8 @@ class LinearRGBEncoder:
     """Fixed random linear map of RGB -> D features, L2-normalized
     per pixel (mimics LSeg's per-pixel normalization,
     reference ``backproject.py:109``)."""
+
+    pixelwise = True
 
     def __init__(self, feature_dim: int = 16, seed: int = 0, normalize: bool = True):
         self.feature_dim = feature_dim

@@ -23,7 +23,6 @@ from tpugs.raster.pallas_tiled import (
     backproject_view_pallas,
     build_plan_pure,
     estimate_pallas_sizes,
-    render_view_pallas,
 )
 from tpugs.raster.projection import ProjectionConfig
 
@@ -81,7 +80,11 @@ def backproject_one_view_pallas(
     shared by the render and adjoint kernels (round-2: the pack gather
     was the third-largest stage)."""
     from tpugs.raster.api import _prepare_colors
-    from tpugs.raster.pallas_tiled import pack_isect_all
+    from tpugs.raster.pallas_tiled import (
+        pack_isect_all,
+        render_pallas_raw,
+        tiles_to_image,
+    )
     from tpugs.raster.projection import project
 
     plan = build_plan_pure(
@@ -105,32 +108,24 @@ def backproject_one_view_pallas(
         scene.means, scene.colors_all, viewmat, scene.sh_degree
     )
     packed = pack_isect_all(proj, cols3, plan)
-    rgb_d, _ = render_view_pallas(
-        scene.means,
-        scene.quats,
-        scene.scales,
-        scene.opacities,
-        scene.colors_all,
-        viewmat,
-        K,
-        plan,
-        sh_degree=scene.sh_degree,
-        render_mode="RGB",
-        proj_config=proj_config,
-        interpret=interpret,
-        trans_eps=trans_eps,
-        packed=packed,
-    )
-    feats = encoder(rgb_d)
+    tiles = render_pallas_raw(packed, plan, 4, interpret, trans_eps)
+    if getattr(encoder, "pixelwise", False):
+        # Pixelwise encoders run on the render kernel's native tile
+        # layout — skips the tiles->image AND image->tiles transpose
+        # passes; the adjoint kernel zeroes pad-pixel weights so the
+        # uncropped tile pixels contribute nothing.
+        feat_kw = dict(feat_image=None, feat_tiles=encoder(tiles[..., :3]))
+    else:
+        rgb_d = tiles_to_image(tiles, width, height, tile_size=plan.tile_size)
+        feat_kw = dict(feat_image=encoder(rgb_d[..., :3]))
     return backproject_view_pallas(
         scene.means,
         scene.quats,
         scene.scales,
         scene.opacities,
-        feats,
-        viewmat,
-        K,
-        plan,
+        viewmat=viewmat,
+        K=K,
+        plan=plan,
         d_chunk=d_chunk,
         proj_config=proj_config,
         interpret=interpret,
@@ -138,6 +133,7 @@ def backproject_one_view_pallas(
         contrib_dtype=contrib_dtype,
         packed=packed,
         reduce_engine=reduce_engine,
+        **feat_kw,
     )
 
 

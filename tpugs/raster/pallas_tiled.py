@@ -1032,7 +1032,10 @@ def tiles_to_image(tiles: jax.Array, width: int, height: int, tile_size: int):
     return t.reshape(nty * ts, ntx * ts, c)[:height, :width]
 
 
-def _make_adjoint_kernel(ntx: int, ts: int, d_chunk: int, trans_eps: float, t_padded: int, out_dtype):
+def _make_adjoint_kernel(
+    ntx: int, ts: int, d_chunk: int, trans_eps: float, t_padded: int,
+    out_dtype, width: int = 0, height: int = 0,
+):
     tspx = ts * ts
 
     def kernel(
@@ -1099,6 +1102,13 @@ def _make_adjoint_kernel(ntx: int, ts: int, d_chunk: int, trans_eps: float, t_pa
             remaining = end - start - b * BLOCK
             lane_valid = lane < remaining
             w, trans = _block_weights(gbuf[slot], px_x, px_y, trans, lane_valid)
+            if width > 0:
+                # Zero the weights of pixels beyond the image crop so
+                # the tiled (uncropped) feature layout needs no masking
+                # pass: pad pixels contribute nothing to num or den,
+                # exactly like the zero-padded image path.
+                in_b = jnp.logical_and(px_x < width, px_y < height)
+                w = jnp.where(in_b, w, 0.0)
 
             # contrib (BLOCK, d_chunk) = w^T @ feats (MXU). The driver
             # prepends a ones-channel to the features, so channel 0 of
@@ -1224,7 +1234,8 @@ def adjoint_pallas_raw(
     )
     contribs = pl.pallas_call(
         _make_adjoint_kernel(
-            ntx, ts, d_chunk, trans_eps, plan.T_padded, out_dtype
+            ntx, ts, d_chunk, trans_eps, plan.T_padded, out_dtype,
+            plan.width, plan.height,
         ),
         out_shape=jax.ShapeDtypeStruct(
             (plan.T_padded + BLOCK, d_chunk), out_dtype
@@ -1522,7 +1533,7 @@ def backproject_view_pallas(
     quats,
     scales,
     opacities,
-    feat_image: jax.Array,  # (H, W, D)
+    feat_image: Optional[jax.Array],  # (H, W, D)
     viewmat,
     K,
     plan: PallasPlan,
@@ -1533,6 +1544,7 @@ def backproject_view_pallas(
     contrib_dtype=jnp.float32,
     packed: Optional[jax.Array] = None,
     reduce_engine: str = "xla",  # "xla" | "pallas"
+    feat_tiles: Optional[jax.Array] = None,  # (n_tiles, ts*ts, D)
 ) -> Tuple[jax.Array, jax.Array]:
     """Fused adjoint for one camera: (feat_sums (N, D), weight_sums (N,))
     in original Gaussian order. A ones-channel is prepended to the
@@ -1542,9 +1554,18 @@ def backproject_view_pallas(
     contribution buffer stays bounded; with ``d_chunk >= D+1`` the whole
     adjoint is a single pass (use ``contrib_dtype=bfloat16`` to halve
     the buffer — ~0.4% relative error on the lifted features).
-    Pass ``packed`` to reuse the render pass's pack (fused path)."""
+    Pass ``packed`` to reuse the render pass's pack (fused path).
+
+    Features come in either layout: ``feat_image`` (H, W, D), or
+    ``feat_tiles`` (n_tiles, ts*ts, D) straight from a pixelwise encoder
+    run on the render kernel's native tile layout — that skips BOTH
+    image<->tile transpose passes; the adjoint kernel zeroes the weights
+    of pixels beyond the image crop, so tile padding contributes
+    nothing (exactly the zero-padded image semantics)."""
     from tpugs.raster.adjoint import image_to_tiles
 
+    if (feat_image is None) == (feat_tiles is None):
+        raise ValueError("pass exactly one of feat_image / feat_tiles")
     if packed is None:
         proj = project(
             means, quats, scales, opacities, viewmat, K,
@@ -1552,37 +1573,45 @@ def backproject_view_pallas(
         )
         packed = pack_isect_all(proj, None, plan)
     geom = packed
-    H, W, D = feat_image.shape
+    if feat_image is not None:
+        H, W, D = feat_image.shape
+        feats = feat_image.astype(contrib_dtype)
+        lead = (H, W)
+    else:
+        n_tiles, tspx, D = feat_tiles.shape
+        feats = feat_tiles.astype(contrib_dtype)
+        lead = (n_tiles, tspx)
     # Work in the contribution dtype from the start so no full-size f32
     # intermediates (concat / tiles) are ever materialized.
-    feat_image = feat_image.astype(contrib_dtype)
     d_pad = cdiv(D + 1, d_chunk) * d_chunk
 
-    def chunk_image(c0):
+    def chunk_feats(c0):
         """Channels [c0, c0+d_chunk) of [ones | feats | zero-pad],
         materialized per chunk to keep peak HBM bounded."""
         lo = c0 - 1  # index into feats of the first channel (ones at -1)
         hi = lo + d_chunk
         parts = []
         if lo < 0:
-            parts.append(jnp.ones((H, W, 1), contrib_dtype))
+            parts.append(jnp.ones(lead + (1,), contrib_dtype))
             lo = 0
         take = min(hi, D) - lo
         if take > 0:
-            parts.append(jax.lax.slice_in_dim(feat_image, lo, lo + take, axis=2))
+            parts.append(
+                jax.lax.slice_in_dim(feats, lo, lo + take, axis=len(lead))
+            )
         have = sum(p.shape[-1] for p in parts)
         if have < d_chunk:
-            parts.append(
-                jnp.zeros((H, W, d_chunk - have), contrib_dtype)
-            )
+            parts.append(jnp.zeros(lead + (d_chunk - have,), contrib_dtype))
         return jnp.concatenate(parts, axis=-1)
 
     feat_parts = []
     for c0 in range(0, d_pad, d_chunk):
-        feat_tiles = image_to_tiles(chunk_image(c0), plan.tile_size)
+        chunk = chunk_feats(c0)
+        if feat_image is not None:
+            chunk = image_to_tiles(chunk, plan.tile_size)
         contribs = adjoint_pallas_raw(
             geom,
-            feat_tiles,
+            chunk,
             plan,
             interpret=interpret,
             trans_eps=trans_eps,
