@@ -80,8 +80,19 @@ def main():
                        vms[i], Ks[i], W, H, pc)
         cols3 = _prepare_colors(sc_means, scene.colors_all, vms[i],
                                 scene.sh_degree)
-        packed = pack_isect_all(proj, cols3, plan)
-        tiles = render_pallas_raw(packed, plan, 4, False)
+        if skip == "pack":
+            # constant packed table (wrong values, right shapes/layout)
+            packed = jnp.zeros((16, sizes.T_padded), jnp.float32) + cols3[0, 0]
+        else:
+            packed = pack_isect_all(proj, cols3, plan)
+        if skip == "render":
+            ntx, nty = (W + TS - 1) // TS, (H + TS - 1) // TS
+            tiles = (
+                jnp.zeros((ntx * nty, TS * TS, 5), jnp.float32)
+                + packed[0, 0]
+            )
+        else:
+            tiles = render_pallas_raw(packed, plan, 4, False)
         if skip == "encoder":
             ft = jnp.broadcast_to(
                 tiles[..., :1], tiles.shape[:2] + (D,)
@@ -130,7 +141,7 @@ def main():
 
     results = {}
     for skip in ("none", "pallas-reduce", "plan", "encoder", "reduce",
-                 "adjoint+reduce"):
+                 "adjoint+reduce", "pack", "render"):
         def f(eps, sc, skip=skip):
             return group(eps, sc, skip)[1]
 

@@ -1034,8 +1034,12 @@ def tiles_to_image(tiles: jax.Array, width: int, height: int, tile_size: int):
 
 def _make_adjoint_kernel(
     ntx: int, ts: int, d_chunk: int, trans_eps: float, t_padded: int,
-    out_dtype, width: int = 0, height: int = 0,
+    out_dtype, width: int = 0, height: int = 0, feat_cols: int = 0,
 ):
+    """feat_cols > 0: the feature block carries only that many real
+    channels; the kernel pads to d_chunk lanes and synthesizes the
+    weight-denominator ones-channel at column ``feat_cols`` (aligned
+    in-VMEM, instead of a whole-image HBM concat pass outside)."""
     tspx = ts * ts
 
     def kernel(
@@ -1058,7 +1062,14 @@ def _make_adjoint_kernel(
         nb = jnp.minimum(nb, (t_padded - pstart) // BLOCK)  # see render kernel
         px_x, px_y = _tile_pixels(t, ntx, ts, tspx)
         lane = jax.lax.broadcasted_iota(jnp.int32, (tspx, BLOCK), 1)
-        feats = feat_ref[0]  # (tspx, d_chunk)
+        feats = feat_ref[0]  # (tspx, d_chunk) or (tspx, feat_cols)
+        if feat_cols > 0:
+            col = jax.lax.broadcasted_iota(jnp.int32, (tspx, d_chunk), 1)
+            feats = jnp.where(
+                col == feat_cols,
+                jnp.ones((), feats.dtype),
+                jnp.pad(feats, ((0, 0), (0, d_chunk - feat_cols))),
+            )
 
         def fetch(slot, b):
             off = pl.multiple_of(pstart + b * BLOCK, BLOCK)
@@ -1200,20 +1211,28 @@ def _make_adjoint_kernel(
 
 def adjoint_pallas_raw(
     geom: jax.Array,  # (16, T_padded) merged pack (rows 0-7 used)
-    feat_tiles: jax.Array,  # (n_tiles, tspx, d_chunk)
+    feat_tiles: jax.Array,  # (n_tiles, tspx, d_chunk) — or (.., feat_cols)
     plan: PallasPlan,
     interpret: bool = False,
     trans_eps: float = TRANS_EPS,
     out_dtype=jnp.float32,
+    d_chunk: Optional[int] = None,
+    feat_cols: int = 0,
 ):
     """Per-intersection contribution rows (T_padded + BLOCK, d_chunk).
     Rows beyond T_padded are the dummy region that unused slot-table
-    entries point to (masked out in reduce_contribs)."""
+    entries point to (masked out in reduce_contribs).
+
+    With ``feat_cols > 0`` the input carries only the real feature
+    channels and the kernel synthesizes the ones-channel at column
+    ``feat_cols`` in VMEM (pass ``d_chunk`` explicitly then)."""
     ntx, nty = tile_grid(plan.width, plan.height, plan.tile_size)
     n_tiles = ntx * nty
     ts = plan.tile_size
     tspx = ts * ts
-    d_chunk = feat_tiles.shape[-1]
+    d_in = feat_tiles.shape[-1]
+    if d_chunk is None:
+        d_chunk = d_in
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -1221,7 +1240,7 @@ def adjoint_pallas_raw(
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(
-                (1, tspx, d_chunk), lambda t, *_: (t, 0, 0)
+                (1, tspx, d_in), lambda t, *_: (t, 0, 0)
             ),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
@@ -1235,7 +1254,7 @@ def adjoint_pallas_raw(
     contribs = pl.pallas_call(
         _make_adjoint_kernel(
             ntx, ts, d_chunk, trans_eps, plan.T_padded, out_dtype,
-            plan.width, plan.height,
+            plan.width, plan.height, feat_cols,
         ),
         out_shape=jax.ShapeDtypeStruct(
             (plan.T_padded + BLOCK, d_chunk), out_dtype
@@ -1584,6 +1603,32 @@ def backproject_view_pallas(
     # Work in the contribution dtype from the start so no full-size f32
     # intermediates (concat / tiles) are ever materialized.
     d_pad = cdiv(D + 1, d_chunk) * d_chunk
+
+    if d_pad == d_chunk:
+        # Single-chunk fast path: no [ones|feats|pad] HBM concat at all —
+        # the adjoint kernel pads to d_chunk lanes in VMEM and puts the
+        # ones-channel at column D (so the denominator is channel D,
+        # not 0, of the contribution rows).
+        chunk = feats if feat_tiles is not None else image_to_tiles(
+            feats, plan.tile_size
+        )
+        contribs = adjoint_pallas_raw(
+            geom,
+            chunk,
+            plan,
+            interpret=interpret,
+            trans_eps=trans_eps,
+            out_dtype=contrib_dtype,
+            d_chunk=d_chunk,
+            feat_cols=D,
+        )
+        if reduce_engine == "pallas":
+            red = reduce_contribs_pallas(contribs, plan, interpret=interpret)
+        else:
+            if D + 1 < d_chunk:
+                contribs = jax.lax.slice_in_dim(contribs, 0, D + 1, axis=1)
+            red = reduce_contribs(contribs, plan)
+        return red[:, :D], red[:, D]
 
     def chunk_feats(c0):
         """Channels [c0, c0+d_chunk) of [ones | feats | zero-pad],
