@@ -411,6 +411,65 @@ def _plan_build(
     return plan, stats
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("tile_size", "width", "height", "proj_config"),
+)
+def _probe_cover_scan_jit(
+    means, quats, scales, opacities, viewmats, Ks,
+    tile_size, width, height, proj_config,
+):
+    """max over views of the per-view worst tile-cover (one dispatch)."""
+    from tpugs.raster.binning import tile_bbox
+
+    ntx, nty = tile_grid(width, height, tile_size)
+
+    def body(mx, vk):
+        vm, K = vk
+        proj = project(
+            means, quats, scales, opacities, vm, K, width, height,
+            proj_config,
+        )
+        tx0, ty0, tx1, ty1 = tile_bbox(
+            proj.means2d, proj.radii, proj.valid, tile_size, ntx, nty
+        )
+        return jnp.maximum(mx, jnp.max((tx1 - tx0) * (ty1 - ty0))), None
+
+    mx, _ = jax.lax.scan(body, jnp.int32(1), (viewmats, Ks))
+    return mx
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "tile_size", "width", "height", "max_cover", "proj_config",
+    ),
+)
+def _probe_stats_scan_jit(
+    means, quats, scales, opacities, viewmats, Ks,
+    tile_size, width, height, max_cover, proj_config,
+):
+    """(max t_padded, per-column-maxed cover histogram) over views, at a
+    fixed global cover bucket (one dispatch, one compile)."""
+    def body(carry, vk):
+        t_max, h_max = carry
+        vm, K = vk
+        proj = project(
+            means, quats, scales, opacities, vm, K, width, height,
+            proj_config,
+        )
+        binning = build_tile_binning(proj, tile_size, width, height,
+                                     max_cover)
+        spans = binning.tile_starts[1:] - binning.tile_starts[:-1]
+        t_pad = jnp.sum(cdiv_arr(spans, BLOCK)) * BLOCK
+        hist = _cover_hist_jit(proj, tile_size, width, height, max_cover)
+        return (jnp.maximum(t_max, t_pad), jnp.maximum(h_max, hist)), None
+
+    carry0 = (jnp.int32(0), jnp.zeros((max_cover,), jnp.int32))
+    (t_max, h_max), _ = jax.lax.scan(body, carry0, (viewmats, Ks))
+    return t_max, h_max
+
+
 class PallasSizes(NamedTuple):
     """Static shape buckets for a (scene, camera rig) pair. Measure once
     with ``estimate_pallas_sizes`` then build plans for every view with
@@ -447,35 +506,28 @@ def estimate_pallas_sizes(
 ) -> PallasSizes:
     """Host-side, once per scene+rig: measure the worst-case cover and
     padded-intersection count over the probed views, add headroom, and
-    bucket. All later per-view plan builds are then pure jit."""
-    from tpugs.raster.api import _cover_stats_jit, _project_jit
+    bucket. All later per-view plan builds are then pure jit.
 
-    cover_req, t_padded = 1, BLOCK
-    hist = None
-    for c in range(0, viewmats.shape[0], probe_stride):
-        proj = _project_jit(
-            means, quats, scales, opacities,
-            viewmats[c], Ks[c], width, height, proj_config,
-        )
-        cr = int(_cover_stats_jit(proj, tile_size, width, height))
-        cover_req = max(cover_req, cr)
-        _, tp, _ = _plan_stats(proj, tile_size, width, height, bucket(cr))
-        t_padded = max(t_padded, int(tp))
-        h = np.asarray(
-            _cover_hist_jit(proj, tile_size, width, height, bucket(cr))
-        )
-        # Grow to the longest histogram seen — truncating (e.g. at a
-        # fixed 256) would fabricate zero counts for very-high-cover
-        # Gaussians and under-size their caps (silent contribution
-        # drops in the reduce). Columns beyond a view's own bucket(cr)
-        # are genuinely zero.
-        if hist is None:
-            hist = h
-        else:
-            L = max(len(hist), len(h))
-            hist = np.maximum(
-                np.pad(hist, (0, L - len(hist))), np.pad(h, (0, L - len(h)))
-            )
+    Probing is TWO device dispatches total (a scanned cover pass, then a
+    scanned stats pass at the global cover bucket) — the former per-view
+    loop paid 4 dispatches/view through the remote transport AND
+    recompiled `_plan_stats`/`_cover_hist_jit` for every distinct
+    per-view bucket, which made training-loop re-estimates cost minutes."""
+    vms = viewmats[::probe_stride]
+    ks = Ks[::probe_stride]
+    cover_req = max(1, int(_probe_cover_scan_jit(
+        means, quats, scales, opacities, vms, ks,
+        tile_size, width, height, proj_config,
+    )))
+    t_pad_dev, hist_dev = _probe_stats_scan_jit(
+        means, quats, scales, opacities, vms, ks,
+        tile_size, width, height, bucket(cover_req), proj_config,
+    )
+    t_padded = max(BLOCK, int(t_pad_dev))
+    # The histogram is maxed per column over views at the full global
+    # bucket length — never truncated, so very-high-cover Gaussians
+    # keep correctly sized caps (silent reduce drops otherwise).
+    hist = np.asarray(hist_dev)
     cover = max(1, int(np.ceil(cover_req * margin)))
     max_cover = 8 * cdiv(cover, 8)
     t = int(np.ceil(t_padded * margin))

@@ -838,6 +838,7 @@ class Trainer:
         self.opt_state = self.opt_state._replace(inner_states=inner)
 
     def refine(self):
+        old_capacity = self.scene.num_gaussians
         new_scene, new_state, info = self.strategy.refine(
             self.scene, self.grad_state
         )
@@ -852,7 +853,15 @@ class Trainer:
         # re-init optimizer state for the new N (reference re-creates the
         # param groups on refine as gsplat strategies do)
         self.opt_state = self.optimizer.init(self.scene)
-        self._sizes = None  # re-estimate buckets
+        if self.scene.num_gaussians != old_capacity:
+            # capacity re-bucketed: plan/step shapes changed, new buckets
+            self._sizes = None
+        # else KEEP the size buckets: invalidating here forced a size
+        # re-estimate + full chunk recompile after EVERY refine (measured
+        # 0.09 it/s vs 3.2 steps/s for the pure step at the same shape —
+        # the at-scale run spent ~97% of its time re-bucketing). The
+        # margin absorbs densification drift; the per-chunk on-device
+        # overflow audit nulls _sizes if the scene ever outgrows them.
         return info
 
     # ---------------------------------------------------------------- eval
