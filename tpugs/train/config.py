@@ -43,6 +43,9 @@ class TrainConfig:
     # loss weights (reference :602-644)
     ssim_lambda: float = 0.2
     feature_lambda: float = 1.0
+    # dtype of the on-device teacher target ("bfloat16" halves the
+    # dominant HBM buffer at garden scale; "float32" for exact targets)
+    teacher_dtype: str = "bfloat16"
     depth_loss: bool = False
     depth_lambda: float = 0.01
     opacity_reg: float = 0.0

@@ -154,6 +154,36 @@ def make_optimizer(cfg: TrainConfig, scene_scale: float, batch_size: int = 1):
     return optax.multi_transform(txs, label_fn)
 
 
+def _feature_l1(feat_img, proj_mat, teacher, row_chunk: int = 64):
+    """mean |feat_img @ proj_mat - teacher| without ever materializing
+    the (H, W, D_out) projected image: at garden scale that is a 2.2 GB
+    f32 buffer twice over (forward product + saved-for-backward), which
+    put the train step 1.9 GB past v5e HBM. Row chunks are projected,
+    differenced and reduced under jax.checkpoint, so the backward
+    recomputes each chunk instead of saving it. Tiny images keep the
+    direct form (same math)."""
+    H, W, Df = feat_img.shape
+    d_out = proj_mat.shape[1]
+    if H * W * d_out <= (1 << 25):
+        return jnp.mean(
+            jnp.abs(feat_img @ proj_mat - teacher.astype(jnp.float32))
+        )
+    pad = (-H) % row_chunk
+    if pad:
+        # zero-padded rows contribute |0 @ proj - 0| = 0 to the sum
+        feat_img = jnp.pad(feat_img, ((0, pad), (0, 0), (0, 0)))
+        teacher = jnp.pad(teacher, ((0, pad), (0, 0), (0, 0)))
+    fi = feat_img.reshape(-1, row_chunk, W, Df)
+    tf = teacher.reshape(-1, row_chunk, W, teacher.shape[-1])
+
+    @jax.checkpoint
+    def chunk_sum(c, t):
+        return jnp.sum(jnp.abs(c @ proj_mat - t.astype(jnp.float32)))
+
+    sums = jax.lax.map(lambda ct: chunk_sum(*ct), (fi, tf))
+    return jnp.sum(sums) / (H * W * d_out)
+
+
 def _rigid_inverse(m: jax.Array) -> jax.Array:
     """Inverse of a rigid 4x4 [R t; 0 1] (viewmat <-> camtoworld)."""
     R = m[:3, :3]
@@ -183,6 +213,9 @@ class Trainer:
         self.scene = scene
         self.scene_scale = scene_scale
         self.teacher = teacher
+        self._teacher_dtype = jnp.dtype(
+            getattr(cfg, "teacher_dtype", "float32")
+        )
         self.width = width
         self.height = height
         self.n_cameras = n_cameras
@@ -480,8 +513,7 @@ class Trainer:
         feat_l = jnp.float32(0.0)
         if scene.features is not None and teacher_feats is not None:
             feat_img = img[..., off : off + scene.features.shape[-1]]
-            feat_full = feat_img @ scene.feature_proj  # (H, W, D_out)
-            feat_l = jnp.mean(jnp.abs(feat_full - teacher_feats))
+            feat_l = _feature_l1(feat_img, scene.feature_proj, teacher_feats)
             loss = loss + cfg.feature_lambda * feat_l
 
         if cfg.opacity_reg > 0:
@@ -601,7 +633,9 @@ class Trainer:
             jnp.asarray(batch["viewmat"]),
             jnp.asarray(batch["K"]),
             jnp.asarray(batch["image"]),
-            None if teacher_feats is None else jnp.asarray(teacher_feats),
+            None
+            if teacher_feats is None
+            else jnp.asarray(teacher_feats).astype(self._teacher_dtype),
             None if pts is None else jnp.asarray(pts),
             None if dep is None else jnp.asarray(dep),
             None if pmask is None else jnp.asarray(pmask),
@@ -712,7 +746,7 @@ class Trainer:
             image = images[ci]
             cam_id = image_ids[ci]
             teacher_feats = (
-                self.teacher(image)
+                self.teacher(image).astype(self._teacher_dtype)
                 if (self.teacher is not None and sc.features is not None)
                 else None
             )
