@@ -88,25 +88,31 @@ def main():
     measure(f_plan, scene.means, iters=it, name="plan", verbose=True)
 
     if args.plan_breakdown:
-        # Time the plan's internal stages (mirrors _plan_build:
-        # expansion -> sort -> slots scatter -> padded_gid scatter) so
-        # perf work targets the right one. Shapes follow the
-        # size-classed layout.
+        # Time the plan's internal stages (expansion -> sort -> slots
+        # scatter -> padded_gid scatter). NOTE: these are standalone
+        # timings of stage-shaped workloads, NOT an in-situ
+        # decomposition: XLA fuses/overlaps stages inside the full
+        # program (scripts/ablate_full.py measures what a stage really
+        # costs there; round 3: plan ~25 ms in-situ vs ~134 standalone).
         from tpugs.raster.binning import tile_bbox
-        from tpugs.raster.pallas_tiled import _sort_by_tile_rank, BLOCK
-        from tpugs.raster.pallas_tiled import cdiv_arr
+        from tpugs.raster.pallas_tiled import (
+            BLOCK,
+            _normalize_classes,
+            _sort_by_tile_rank,
+            cdiv_arr,
+        )
 
         ntx, nty = (W + args.tile - 1) // args.tile, (H + args.tile - 1) // args.tile
         n_tiles = ntx * nty
         n = scene.means.shape[0]
-        from tpugs.raster.pallas_tiled import _normalize_classes
-        from tpugs.raster.binning import tile_cut_mask
 
         mc = sizes.max_cover
         classes = _normalize_classes(sizes.classes, n, mc)
 
         @jax.jit
         def stage_expand(means):
+            # mirrors _plan_build's cover-major (slots_per, count)
+            # expansion (keep in sync with tpugs/raster/pallas_tiled.py)
             proj = project(means, scene.quats, scene.scales,
                            scene.opacities, vm, K, W, H, pc)
             depth_key = jnp.where(proj.valid, proj.depths, jnp.inf)
@@ -114,26 +120,34 @@ def main():
             m2d = proj.means2d[order]
             radii = proj.radii[order]
             valid = proj.valid[order]
-            tx0, ty0, tx1, ty1 = tile_bbox(m2d, radii, valid, args.tile, ntx, nty)
-            cnt = (tx1 - tx0) * (ty1 - ty0)
+            tx0, ty0, tx1, ty1 = tile_bbox(m2d, radii, valid, args.tile,
+                                           ntx, nty)
+            w = tx1 - tx0
+            cnt = w * (ty1 - ty0)
+            w_safe = jnp.maximum(w, 1)
+            cut_r2 = proj.cut_r2[order]
             cover_rank = jnp.argsort(-cnt)
 
-            cut_r2 = proj.cut_r2[order]
-
             def expand(rows, slots_per):
-                r_w = jnp.maximum(tx1 - tx0, 1)[rows]
-                jj = jnp.arange(slots_per, dtype=jnp.int32)
-                jx = jj[None, :] % r_w[:, None]
-                jy = jj[None, :] // r_w[:, None]
-                sv = jj[None, :] < jnp.minimum(cnt[rows], slots_per)[:, None]
-                sv &= tile_cut_mask(
-                    m2d[rows], cut_r2[rows],
-                    tx0[rows][:, None] + jx, ty0[rows][:, None] + jy,
-                    args.tile,
-                )
-                t = (ty0[rows][:, None] + jy) * ntx + (tx0[rows][:, None] + jx)
+                r_tx0 = tx0[rows][None, :]
+                r_ty0 = ty0[rows][None, :]
+                r_w = w_safe[rows][None, :]
+                r_cnt = cnt[rows][None, :]
+                jj = jnp.arange(slots_per, dtype=jnp.int32)[:, None]
+                jx = jj % r_w
+                jy = jj // r_w
+                sv = jj < jnp.minimum(r_cnt, slots_per)
+                ts = float(args.tile)
+                x0 = (r_tx0 + jx).astype(jnp.float32) * ts
+                y0 = (r_ty0 + jy).astype(jnp.float32) * ts
+                mx = m2d[rows, 0][None, :]
+                my = m2d[rows, 1][None, :]
+                dx = jnp.maximum(jnp.maximum(x0 - mx, mx - (x0 + ts)), 0.0)
+                dy = jnp.maximum(jnp.maximum(y0 - my, my - (y0 + ts)), 0.0)
+                sv &= dx * dx + dy * dy <= cut_r2[rows][None, :]
+                t = (r_ty0 + jy) * ntx + (r_tx0 + jx)
                 t = jnp.where(sv, t, n_tiles).astype(jnp.int32)
-                g = jnp.where(sv, rows[:, None], n).astype(jnp.int32)
+                g = jnp.where(sv, rows[None, :], n).astype(jnp.int32)
                 return t.reshape(-1), g.reshape(-1)
 
             tps, gps = [], []
