@@ -41,43 +41,90 @@ class GradState:
         self.count += np.asarray(visible, np.float32)
 
 
-def _split_scene(scene: GaussianScene, mask: np.ndarray, rng) -> GaussianScene:
+_SCENE_FIELDS = (
+    "means", "quats", "log_scales", "logit_opacities", "sh0", "shN",
+    "features",
+)
+
+
+def _scene_to_host(scene: GaussianScene) -> dict:
+    """Per-Gaussian arrays as numpy. Refinement runs ENTIRELY host-side:
+    device selects/concats have data-dependent shapes, so every refine
+    used to trigger a storm of tiny XLA compiles (new shapes each time)
+    that dominated at-scale training wall-clock through the remote
+    transport."""
+    return {
+        f: (None if getattr(scene, f) is None else np.asarray(getattr(scene, f)))
+        for f in _SCENE_FIELDS
+    }
+
+
+def _host_to_scene(arrs: dict, feature_proj) -> GaussianScene:
+    return GaussianScene(
+        means=jnp.asarray(arrs["means"]),
+        quats=jnp.asarray(arrs["quats"]),
+        log_scales=jnp.asarray(arrs["log_scales"]),
+        logit_opacities=jnp.asarray(arrs["logit_opacities"]),
+        sh0=jnp.asarray(arrs["sh0"]),
+        shN=jnp.asarray(arrs["shN"]),
+        features=(
+            None if arrs["features"] is None else jnp.asarray(arrs["features"])
+        ),
+        feature_proj=feature_proj,
+    )
+
+
+def _np_quat_rotmat(quats: np.ndarray) -> np.ndarray:
+    """(N, 4) wxyz quaternions -> (N, 3, 3) rotations (numpy mirror of
+    raster.projection.quat_to_rotmat)."""
+    q = quats / np.maximum(
+        np.linalg.norm(quats, axis=-1, keepdims=True), 1e-12
+    )
+    w, x, y, z = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+    R = np.empty((len(q), 3, 3), np.float32)
+    R[:, 0, 0] = 1 - 2 * (y * y + z * z)
+    R[:, 0, 1] = 2 * (x * y - w * z)
+    R[:, 0, 2] = 2 * (x * z + w * y)
+    R[:, 1, 0] = 2 * (x * y + w * z)
+    R[:, 1, 1] = 1 - 2 * (x * x + z * z)
+    R[:, 1, 2] = 2 * (y * z - w * x)
+    R[:, 2, 0] = 2 * (x * z - w * y)
+    R[:, 2, 1] = 2 * (y * z + w * x)
+    R[:, 2, 2] = 1 - 2 * (z * z + x * x)
+    return R
+
+
+def _split_arrs(arrs: dict, mask: np.ndarray, rng) -> dict:
     """Split the masked (large, high-gradient) Gaussians into two samples
     drawn from each Gaussian, with scales shrunk by 1.6 (Inria recipe)."""
-    sel = scene.select(mask)
-    n = sel.num_gaussians
+    n = int(mask.sum())
     if n == 0:
         return None
-    from tpugs.raster.projection import quat_to_rotmat
-
-    R = np.asarray(quat_to_rotmat(sel.quats))
-    scales = np.asarray(sel.scales)
-    out = []
+    sel = {
+        f: (None if a is None else a[mask]) for f, a in arrs.items()
+    }
+    R = _np_quat_rotmat(sel["quats"])
+    scales = np.exp(sel["log_scales"])
+    parts = []
     for _ in range(2):
         eps = rng.normal(size=(n, 3)).astype(np.float32) * scales
-        offs = np.einsum("nij,nj->ni", R, eps)
-        out.append(
-            sel.replace(
-                means=sel.means + jnp.asarray(offs),
-                log_scales=sel.log_scales - np.log(1.6),
-            )
+        offs = np.einsum("nij,nj->ni", R, eps).astype(np.float32)
+        p = dict(sel)
+        p["means"] = sel["means"] + offs
+        p["log_scales"] = sel["log_scales"] - np.float32(np.log(1.6))
+        parts.append(p)
+    return _concat_arrs(parts)
+
+
+def _concat_arrs(parts) -> dict:
+    return {
+        f: (
+            None
+            if parts[0][f] is None
+            else np.concatenate([p[f] for p in parts], axis=0)
         )
-    return _concat_scenes(out)
-
-
-def _concat_scenes(scenes) -> GaussianScene:
-    cat = lambda xs: jnp.concatenate(xs, axis=0)
-    feats = [s.features for s in scenes]
-    return GaussianScene(
-        means=cat([s.means for s in scenes]),
-        quats=cat([s.quats for s in scenes]),
-        log_scales=cat([s.log_scales for s in scenes]),
-        logit_opacities=cat([s.logit_opacities for s in scenes]),
-        sh0=cat([s.sh0 for s in scenes]),
-        shN=cat([s.shN for s in scenes]),
-        features=cat(feats) if feats[0] is not None else None,
-        feature_proj=scenes[0].feature_proj,
-    )
+        for f in _SCENE_FIELDS
+    }
 
 
 class DefaultStrategy:
@@ -95,25 +142,28 @@ class DefaultStrategy:
         cfg = self.cfg
         avg_grad = state.grad2d_sum / np.maximum(state.count, 1.0)
         is_grad_high = avg_grad > cfg.grow_grad2d
-        scales = np.asarray(scene.scales).max(axis=1)
+        arrs = _scene_to_host(scene)
+        scales = np.exp(arrs["log_scales"]).max(axis=1)
         is_small = scales <= cfg.grow_scale3d * self.scene_scale
         is_dupli = is_grad_high & is_small
         is_split = is_grad_high & ~is_small
 
-        opac = np.asarray(scene.opacities)
+        opac = 1.0 / (1.0 + np.exp(-arrs["logit_opacities"]))
         is_prune = opac < cfg.prune_opa
         is_prune |= scales > cfg.prune_scale3d * self.scene_scale
 
         keep = ~(is_prune | is_split)
-        parts = [scene.select(keep)]
-        n_dupli = int(is_dupli[keep].sum()) if keep.any() else 0
+        parts = [{f: (None if a is None else a[keep]) for f, a in arrs.items()}]
         dupli_mask = is_dupli & keep
         if dupli_mask.any():
-            parts.append(scene.select(dupli_mask))
-        split = _split_scene(scene, is_split, self.rng)
+            parts.append(
+                {f: (None if a is None else a[dupli_mask]) for f, a in arrs.items()}
+            )
+        split = _split_arrs(arrs, is_split, self.rng)
         if split is not None:
             parts.append(split)
-        new_scene = _concat_scenes(parts) if len(parts) > 1 else parts[0]
+        new = _concat_arrs(parts) if len(parts) > 1 else parts[0]
+        new_scene = _host_to_scene(new, scene.feature_proj)
         info = {
             "duplicated": int(dupli_mask.sum()),
             "split": int(is_split.sum()),
