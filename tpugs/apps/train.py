@@ -42,7 +42,11 @@ def main(
     resume: str = "",
     chunked: bool = False,
     chunk_steps: int = 50,
-    capacity_multiple: int = 0,
+    # Pad the Gaussian capacity to a bucket after refine: without this
+    # every densification changes N and the whole train step recompiles
+    # each refine_every steps (tens of minutes of wall clock at scale).
+    # 0 disables (exact N; only sensible on CPU or with strategy=none).
+    capacity_multiple: int = 16384,
     viewer_port: int = -1,
     viewer_every: int = 100,
     raster_engine: str = "auto",
