@@ -76,10 +76,19 @@ def main():
             pm, scene.quats, scene.scales, scene.opacities,
             vm, K, W, H, sizes, pc, TS,
         )
-        proj = project(sc_means, scene.quats, scene.scales, scene.opacities,
-                       vms[i], Ks[i], W, H, pc)
-        cols3 = _prepare_colors(sc_means, scene.colors_all, vms[i],
-                                scene.sh_degree)
+        if skip == "projection":
+            # constant-view projection (CSEd across the 4 views like the
+            # plan skip) — isolates the pack's SECOND projection pass
+            proj = project(scene.means, scene.quats, scene.scales,
+                           scene.opacities, vms[0], Ks[0], W, H, pc)
+        else:
+            proj = project(sc_means, scene.quats, scene.scales,
+                           scene.opacities, vms[i], Ks[i], W, H, pc)
+        if skip == "sh":
+            cols3 = jnp.zeros((N, 3), jnp.float32) + sc_means[0, 0]
+        else:
+            cols3 = _prepare_colors(sc_means, scene.colors_all, vms[i],
+                                    scene.sh_degree)
         if skip == "pack":
             # constant packed table (wrong values, right shapes/layout)
             packed = jnp.zeros((16, sizes.T_padded), jnp.float32) + cols3[0, 0]
@@ -139,9 +148,19 @@ def main():
             den = ws if den is None else den + ws
         return num, den
 
+    # Pure dispatch overhead: a trivial program with the same input
+    # (scene pytree) and a scalar output, through the same transport.
+    @jax.jit
+    def nop(eps, sc):
+        return sc.means[0, 0] + eps
+
+    t_nop = measure(nop, scene, iters=3, name="dispatch[nop]", verbose=True)
+    print(f"  -> {t_nop * 1e3:.1f} ms/dispatch ({t_nop / G * 1e3:.1f} "
+          f"ms/view at G={G})", flush=True)
+
     results = {}
     for skip in ("none", "pallas-reduce", "plan", "encoder", "reduce",
-                 "adjoint+reduce", "pack", "render"):
+                 "adjoint+reduce", "pack", "render", "projection", "sh"):
         def f(eps, sc, skip=skip):
             return group(eps, sc, skip)[1]
 

@@ -160,6 +160,27 @@ def test_opacity_reset_clears_adam_state():
     assert mx > 0.0
 
 
+def test_opacity_reset_stops_at_refine_stop_iter():
+    """gsplat DefaultStrategy gates ALL post-backward maintenance (incl.
+    opacity resets) at refine_stop_iter — un-gated resets after
+    densification ends collapsed the round-3 at-scale final eval."""
+    cfg = tiny_cfg(reset_every=2, strategy="default",
+                   refine_start_iter=10_000, refine_stop_iter=2)
+    scene = init_scene_random(cfg)
+    tr = Trainer(cfg, scene, width=W, height=H)
+    gt = make_batch(tr)
+    tr.train_step(gt)
+    tr.train_step(gt)
+    tr.train_step(gt)  # step==2 == refine_stop_iter -> reset must NOT fire
+    state = tr.opt_state.inner_states["opacities"]
+    mx = max(
+        float(jnp.abs(l).max())
+        for l in jax.tree_util.tree_leaves(state)
+        if hasattr(l, "shape") and l.ndim >= 1
+    )
+    assert mx > 0.0  # moments intact => no reset fired
+
+
 def test_full_checkpoint_resume(tmp_path):
     cfg = tiny_cfg()
     scene = init_scene_random(cfg)

@@ -224,7 +224,13 @@ def main(
                 ):
                     info = trainer.refine()
                     print(f"refine @ {step}: {info}", flush=True)
-                if cfg.reset_every > 0 and step % cfg.reset_every == 0:
+                if (
+                    cfg.reset_every > 0
+                    and step % cfg.reset_every == 0
+                    # resets stop with densification (gsplat DefaultStrategy
+                    # gates all post-backward maintenance at refine_stop_iter)
+                    and step < cfg.refine_stop_iter
+                ):
                     trainer.scene = trainer.strategy.reset_opacities(
                         trainer.scene
                     )

@@ -668,6 +668,12 @@ class Trainer:
                 self.step > 0
                 and cfg.reset_every > 0
                 and self.step % cfg.reset_every == 0
+                # gsplat DefaultStrategy.step_post_backward early-returns at
+                # refine_stop_iter, so ALL maintenance (incl. opacity resets)
+                # stops there; un-gated resets after densification ends leave
+                # the final model as a half-recovered reset (round-3 at-scale
+                # eval collapsed to PSNR 12.4 from resets @3600..5400).
+                and self.step < cfg.refine_stop_iter
             ):
                 self.scene = self.strategy.reset_opacities(self.scene)
                 # gsplat zeroes Adam moments for the opacities group on
