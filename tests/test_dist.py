@@ -200,10 +200,11 @@ def test_trainer_step_sharded_matches_single(mesh_shape):
         mesh = make_mesh(shape, ("cam", "gauss"), devices=devs)
         step = make_trainer_step_sharded(tr, mesh, batch_size=B)
         cam_ids = jnp.arange(B, dtype=jnp.int32)
-        scene2, opt2, _, loss, grad2d, vis = step(
+        scene2, opt2, _, loss, grad2d, vis, xover = step(
             tr.scene, tr.opt_state, tr.module_state(), cams.viewmats,
             cams.Ks, images, teachers, bkgds, cam_ids,
         )
+        assert float(xover) == 0.0
         results[shape] = (scene2, loss, grad2d, vis)
 
     s_sh, l_sh, g_sh, v_sh = results[mesh_shape]
@@ -243,7 +244,7 @@ def test_trainer_step_sharded_no_features():
     rng = np.random.default_rng(1)
     images = jnp.asarray(rng.uniform(0, 1, (B, H, W, 3)).astype(np.float32))
     dummy_teachers = jnp.zeros((B, 1, 1, 1), jnp.float32)
-    scene2, opt2, _, loss, grad2d, vis = step(
+    scene2, opt2, _, loss, grad2d, vis, _ = step(
         tr.scene, tr.opt_state, tr.module_state(), cams.viewmats, cams.Ks,
         images, dummy_teachers, jnp.zeros((B, 3)),
         jnp.arange(B, dtype=jnp.int32),
@@ -299,7 +300,7 @@ def test_trainer_step_sharded_pose_app_matches_single():
         devs = jax.devices()[: shape[0] * shape[1]]
         mesh = make_mesh(shape, ("cam", "gauss"), devices=devs)
         step = make_trainer_step_sharded(tr, mesh, batch_size=B)
-        scene2, _, modules, loss, _, _ = step(
+        scene2, _, modules, loss, _, _, _ = step(
             tr.scene, tr.opt_state, tr.module_state(), cams.viewmats,
             cams.Ks, images, teachers, bkgds, cam_ids,
         )
@@ -323,6 +324,131 @@ def test_trainer_step_sharded_pose_app_matches_single():
         jax.tree_util.tree_leaves(s_sh), jax.tree_util.tree_leaves(s_1)
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_trainer_step_sharded_exchange_cap():
+    """The projected-splat exchange with a survivor capacity: a cap
+    covering every frustum survivor is lossless (same update as the
+    uncapped exchange, xover == 0); a tiny cap drops rows and reports
+    them. This is the memory-scaling mode: each device exchanges at
+    most cap projected rows instead of the whole scene (gsplat
+    distributed=True, reference :460)."""
+    from tpugs.dist.shard import make_trainer_step_sharded
+
+    B = 4
+    _, cams = _setup(n_cams=B)
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.uniform(0, 1, (B, H, W, 3)).astype(np.float32))
+    teachers = jnp.asarray(
+        rng.uniform(-1, 1, (B, H, W, 16)).astype(np.float32)
+    )
+    bkgds = jnp.zeros((B, 3), jnp.float32)
+    cam_ids = jnp.arange(B, dtype=jnp.int32)
+
+    import optax
+
+    results = {}
+    # n_local = 96/2 = 48; cap=48 is trivially lossless, cap=4 drops
+    for cap in (0, 48, 4):
+        tr = _make_trainer_for_shard()
+        tr._sizes = (64, 4)
+        tr.optimizer = optax.sgd(0.1)
+        tr.opt_state = tr.optimizer.init(tr.scene)
+        mesh = make_mesh((2, 2), ("cam", "gauss"), devices=jax.devices()[:4])
+        step = make_trainer_step_sharded(
+            tr, mesh, batch_size=B, exchange_rows=cap
+        )
+        scene2, _, _, loss, grad2d, vis, xover = step(
+            tr.scene, tr.opt_state, tr.module_state(), cams.viewmats,
+            cams.Ks, images, teachers, bkgds, cam_ids,
+        )
+        results[cap] = (scene2, loss, xover)
+
+    s0, l0, x0 = results[0]
+    s1, l1, x1 = results[48]
+    s2, l2, x2 = results[4]
+    assert float(x0) == 0.0 and float(x1) == 0.0
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-6)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s1), jax.tree_util.tree_leaves(s0)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    # the tiny cap must drop real survivors and say so
+    assert float(x2) > 0.0
+    assert np.isfinite(float(l2))
+
+
+def test_trainer_chunk_sharded_matches_stepwise():
+    """The chunked (lax.scan) sharded trainer must reproduce the
+    step-by-step sharded results exactly: same final params, same
+    per-step losses — one dispatch instead of n_steps round-trips."""
+    from tpugs.dist.shard import (
+        make_trainer_chunk_sharded,
+        make_trainer_step_sharded,
+    )
+
+    import optax
+
+    B, C, n_steps = 4, 8, 3
+    _, cams = _setup(n_cams=C)
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.uniform(0, 1, (C, H, W, 3)).astype(np.float32))
+    teachers = jnp.asarray(
+        rng.uniform(-1, 1, (C, H, W, 16)).astype(np.float32)
+    )
+    staged = {
+        "images": images,
+        "viewmats": cams.viewmats,
+        "Ks": cams.Ks,
+        "image_ids": jnp.arange(C, dtype=jnp.int32),
+        "teachers": teachers,
+    }
+    # per-step camera picks: device c draws from [c*4, (c+1)*4)
+    sel = np.stack([
+        np.concatenate([
+            np.random.default_rng(s).choice(4, 2, replace=False) + 0,
+            np.random.default_rng(s + 100).choice(4, 2, replace=False) + 4,
+        ])
+        for s in range(n_steps)
+    ]).astype(np.int32)
+
+    def fresh():
+        tr = _make_trainer_for_shard()
+        tr._sizes = (64, 4)
+        tr.optimizer = optax.sgd(0.1)
+        tr.opt_state = tr.optimizer.init(tr.scene)
+        return tr
+
+    mesh = make_mesh((2, 2), ("cam", "gauss"), devices=jax.devices()[:4])
+
+    tr = fresh()
+    chunk = make_trainer_chunk_sharded(tr, mesh, batch_size=B,
+                                       n_steps=n_steps)
+    sc_c, _, _, stats = chunk(
+        tr.scene, tr.opt_state, tr.module_state(), staged,
+        jnp.asarray(sel),
+    )
+
+    tr = fresh()
+    step = make_trainer_step_sharded(tr, mesh, batch_size=B)
+    losses = []
+    sc, op, mods = tr.scene, tr.opt_state, tr.module_state()
+    for s in range(n_steps):
+        idx = sel[s]
+        sc, op, mods, loss, _, _, _ = step(
+            sc, op, mods, cams.viewmats[idx], cams.Ks[idx], images[idx],
+            teachers[idx], jnp.zeros((B, 3)),
+            jnp.asarray(idx, jnp.int32),
+        )
+        losses.append(float(loss))
+
+    np.testing.assert_allclose(
+        np.asarray(stats["loss"]), np.asarray(losses), rtol=1e-6
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(sc_c), jax.tree_util.tree_leaves(sc)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
 def test_refine_sharded_cycle():
@@ -353,7 +479,7 @@ def test_refine_sharded_cycle():
     cam_ids = jnp.arange(B, dtype=jnp.int32)
 
     step = make_trainer_step_sharded(tr, mesh, batch_size=B)
-    tr.scene, tr.opt_state, _, loss, g2d, vis = step(
+    tr.scene, tr.opt_state, _, loss, g2d, vis, _ = step(
         tr.scene, tr.opt_state, tr.module_state(), cams.viewmats, cams.Ks,
         images, dummy_teachers, jnp.zeros((B, 3)), cam_ids,
     )
@@ -366,7 +492,7 @@ def test_refine_sharded_cycle():
     # rebuild the step for the new N and keep training
     tr._sizes = (64, 4)
     step = make_trainer_step_sharded(tr, mesh, batch_size=B)
-    tr.scene, tr.opt_state, _, loss2, g2d2, vis2 = step(
+    tr.scene, tr.opt_state, _, loss2, g2d2, vis2, _ = step(
         tr.scene, tr.opt_state, tr.module_state(), cams.viewmats, cams.Ks,
         images, dummy_teachers, jnp.zeros((B, 3)), cam_ids,
     )

@@ -105,6 +105,48 @@ def test_pallas_adjoint_matches_jax():
     )
 
 
+def test_pallas_adjoint_mxu_prefix_close_to_exact():
+    """The production bf16 path now computes the lane transmittance
+    prefix as a log-space MXU matmul (mxu_prefix). It must stay within
+    the bf16 path's error budget of the exact f32/VPU-scan result."""
+    from tpugs.raster.pallas_tiled import adjoint_pallas_raw, pack_isect_all
+    from tpugs.raster.projection import project
+    from tpugs.raster.adjoint import image_to_tiles
+
+    scene, cams = _setup(n=150)
+    vm, K = cams.viewmats[0], cams.Ks[0]
+    D = 15
+    rng = np.random.default_rng(7)
+    feats = jnp.asarray(rng.uniform(size=(H, W, D)).astype(np.float32))
+    plan = build_pallas_plan(*_args(scene), vm, K, W, H)
+    proj = project(*_args(scene), vm, K, W, H)
+    packed = pack_isect_all(proj, None, plan)
+    ones = jnp.ones((H, W, 1), jnp.float32)
+    chunk = image_to_tiles(
+        jnp.concatenate([ones, feats], -1), plan.tile_size
+    )
+    from tpugs.raster.pallas_tiled import reduce_contribs
+
+    def run(dtype, mxu):
+        c = adjoint_pallas_raw(
+            packed, chunk.astype(dtype), plan, interpret=True,
+            out_dtype=dtype, mxu_prefix=mxu,
+        )
+        # reduce to (N, D+1) per-gaussian sums — raw contribution rows
+        # include bucket-padding rows the kernel never writes
+        return np.asarray(reduce_contribs(c, plan), np.float32)
+
+    e = run(jnp.float32, False)
+    f = run(jnp.bfloat16, True)  # production path
+    scale = np.abs(e).max()
+    assert scale > 0
+    assert np.abs(f - e).max() <= 6e-3 * scale
+    # and the mxu prefix alone (f32 contribs, bf16 only inside the
+    # prefix matmul) is much tighter
+    m = run(jnp.float32, True)
+    assert np.abs(m - e).max() <= 3e-3 * scale
+
+
 def test_pallas_adjoint_channel_chunking_consistent():
     scene, cams = _setup(n=80)
     vm, K = cams.viewmats[0], cams.Ks[0]

@@ -414,9 +414,31 @@ class Trainer:
         (gsplat's means2d.grad densification stat); d / d probes["abs"]
         is the per-pixel-abs variant (means2d.absgrad, reference
         ``f3dgs/simple_trainer_feature_3dgs.py:453-476``)."""
+        proj, opac, allc = self._view_inputs(
+            scene, probes, aux_params, viewmat, K, cam_id, sh_degree
+        )
+        loss, aux = self._loss_from_projected(
+            proj, opac, allc, probes.get("abs"), image, teacher_feats,
+            points, point_depths, point_mask, bkgd, sizes,
+            scene.feature_proj,
+            None if scene.features is None else scene.features.shape[-1],
+        )
+        loss = loss + self._reg_loss(scene)
+        return loss, aux
+
+    def _view_inputs(
+        self, scene: GaussianScene, probes, aux_params, viewmat, K,
+        cam_id, sh_degree,
+    ):
+        """Per-Gaussian half of the per-view loss: pose deltas,
+        projection, SH colors (+appearance), channel concat. Returns
+        ``(proj, opac, allc)`` — the projected rows the renderer needs.
+        The sharded trainer runs this on the LOCAL gauss shard and
+        exchanges these rows instead of all-gathering the raw scene
+        (gsplat ``distributed=True`` semantics: only projected splats
+        cross devices, ``f3dgs/simple_trainer_feature_3dgs.py:460``)."""
         cfg = self.cfg
         offset2d = probes["off"]
-        abs_probe = probes.get("abs")
         # Camera pose residuals (reference :555-561): noise perturbation
         # first (fixed), then the learned adjustment, both on camtoworld.
         pose_params = aux_params.get("pose")
@@ -453,6 +475,25 @@ class Trainer:
         if scene.features is not None:
             chans.append(scene.features)
         allc = jnp.concatenate(chans, axis=-1)
+        return proj, opac, allc
+
+    def _reg_loss(self, scene: GaussianScene):
+        """Parameter regularizers (reference :634-644) — the only loss
+        terms that read raw scene rows rather than projected rows."""
+        cfg = self.cfg
+        reg = jnp.float32(0.0)
+        if cfg.opacity_reg > 0:
+            reg = reg + cfg.opacity_reg * jnp.mean(scene.opacities)
+        if cfg.scale_reg > 0:
+            reg = reg + cfg.scale_reg * jnp.mean(scene.scales)
+        return reg
+
+    def _loss_from_projected(
+        self, proj, opac, allc, abs_probe, image, teacher_feats,
+        points, point_depths, point_mask, bkgd, sizes,
+        feature_proj, feat_dim,
+    ):
+        cfg = self.cfg
         if isinstance(sizes, PallasSizes):
             # Fused Pallas render: the plan (all-int, non-differentiable)
             # is rebuilt per step from the projected geometry; gradients
@@ -511,15 +552,10 @@ class Trainer:
                 loss = loss + cfg.depth_lambda * depth_l
 
         feat_l = jnp.float32(0.0)
-        if scene.features is not None and teacher_feats is not None:
-            feat_img = img[..., off : off + scene.features.shape[-1]]
-            feat_l = _feature_l1(feat_img, scene.feature_proj, teacher_feats)
+        if feat_dim is not None and teacher_feats is not None:
+            feat_img = img[..., off : off + feat_dim]
+            feat_l = _feature_l1(feat_img, feature_proj, teacher_feats)
             loss = loss + cfg.feature_lambda * feat_l
-
-        if cfg.opacity_reg > 0:
-            loss = loss + cfg.opacity_reg * jnp.mean(scene.opacities)
-        if cfg.scale_reg > 0:
-            loss = loss + cfg.scale_reg * jnp.mean(scene.scales)
 
         aux = {
             "l1": l1,
