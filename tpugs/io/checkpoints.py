@@ -207,7 +207,7 @@ def load_checkpoint(
     else:
         raise ValueError("Invalid Gaussian splatting format")
 
-    cam = next(iter(colmap.cameras.values()))  # single-camera assumption
+    cam = next(iter(colmap.cameras.values()))
     K = cam.K.astype(np.float32)
     K[:2, :] /= data_factor
     # int() truncation, not round(): the reference derives the render
@@ -217,6 +217,25 @@ def load_checkpoint(
     height = int(K[1, 2] * 2)
     images = sorted(colmap.images.values(), key=lambda im: im.name)
     cameras = cameras_from_colmap(images, K, width, height)
+    if len(colmap.cameras) > 1:
+        # Multi-camera rigs: the reference assumes a single camera
+        # (utils.py:93-105 reads the first); here each image gets its
+        # OWN camera's pinhole K (distortion handled by the training
+        # Parser, not this render-only path) as long as every camera
+        # shares the render size.
+        sizes = {
+            (int(c.K[0, 2] * 2 / data_factor), int(c.K[1, 2] * 2 / data_factor))
+            for c in colmap.cameras.values()
+        }
+        if len(sizes) == 1:
+            Ks = np.stack([
+                colmap.cameras[im.camera_id].K.astype(np.float32)
+                for im in images
+            ])
+            Ks[:, :2, :] /= data_factor
+            import dataclasses as _dc
+
+            cameras = _dc.replace(cameras, Ks=jnp.asarray(Ks))
     return scene, cameras, colmap
 
 

@@ -218,6 +218,7 @@ class Dataset:
         split: str = "train",
         patch_size: Optional[int] = None,
         load_depths: bool = False,
+        crop_to_common: bool = True,
     ):
         self.parser = parser
         self.split = split
@@ -228,6 +229,18 @@ class Dataset:
             self.indices = indices[indices % parser.test_every != 0]
         else:
             self.indices = indices[indices % parser.test_every == 0]
+        # Heterogeneous rigs: per-camera undistortion yields per-camera
+        # sizes (reference torch path renders dynamic shapes,
+        # colmap.py:209-231); the TPU trainer compiles ONE static
+        # (H, W), so center-crop every camera to the common minimum and
+        # shift its principal point accordingly. Single-camera datasets
+        # are untouched (their min IS their size).
+        self.common_size = None
+        sizes = {parser.imsize_dict[c] for c in parser.imsize_dict}
+        if crop_to_common and len(sizes) > 1:
+            self.common_size = (
+                min(s[0] for s in sizes), min(s[1] for s in sizes)
+            )
 
     def __len__(self) -> int:
         return len(self.indices)
@@ -238,6 +251,14 @@ class Dataset:
         cam_id = self.parser.camera_ids[idx]
         K = self.parser.Ks_dict[cam_id].copy()
         viewmat = self.parser.viewmat(idx)
+
+        if self.common_size is not None:
+            cw, ch = self.common_size
+            h, w = image.shape[:2]
+            x0, y0 = (w - cw) // 2, (h - ch) // 2
+            image = image[y0 : y0 + ch, x0 : x0 + cw]
+            K[0, 2] -= x0
+            K[1, 2] -= y0
 
         if self.patch_size is not None:
             h, w = image.shape[:2]
