@@ -126,6 +126,13 @@ def main():
     ap.add_argument("--group", type=int, default=4,
                     help="views per jitted dispatch (amortizes the "
                          "remote transport latency)")
+    ap.add_argument("--encoder", default="linear",
+                    choices=("linear", "lseg-random", "lseg-random-f32"),
+                    help="2D teacher in the fused loop: the default "
+                         "linear map, or the REAL LSeg ViT-L/16 "
+                         "architecture with random weights and the "
+                         "reference's 480^2 crop protocol "
+                         "(backproject.py:102-113), bf16 or f32")
     ap.add_argument("--budget-s", type=float,
                     default=float(os.environ.get("BENCH_BUDGET_S", 420)))
     ap.add_argument("--quick", action="store_true", help="tiny smoke config")
@@ -161,7 +168,20 @@ def main():
         scale_range=(0.004, 0.02),
     )
     cams = orbit_cameras(args.views, args.width, args.height, radius=3.0)
-    encoder = LinearRGBEncoder(feature_dim=args.feature_dim)
+    if args.encoder.startswith("lseg-random"):
+        import warnings
+
+        from tpugs.encoders.lseg import LSegEncoder
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")  # random-weights notice
+            encoder = LSegEncoder(
+                ckpt=None,
+                dtype=None if args.encoder.endswith("f32") else jnp.bfloat16,
+            )
+        args.feature_dim = encoder.feature_dim
+    else:
+        encoder = LinearRGBEncoder(feature_dim=args.feature_dim)
     interpret = jax.devices()[0].platform == "cpu"
     sizes = _load_or_estimate_sizes(args, scene, cams, DEFAULT_TILE)
 
@@ -215,13 +235,19 @@ def main():
     _emit(note=(
         f"device={jax.devices()[0].platform} N={scene.num_gaussians} "
         f"{args.width}x{args.height} D={args.feature_dim} "
+        f"encoder={args.encoder} "
         f"gaussian-splats/s={gaussians_per_s:.3e} finite={finite} "
         f"best_group_s={best_dt:.3f}"
     ))
     # Speed-of-light accounting (BASELINE.json north-star): analytic
     # per-stage floors at this shape; reduce at the measured gather
-    # floor, compute stages at the bf16 peak.
-    from tpugs.utils.profiling import GATHER_FLOOR_GBPS, sol_estimate
+    # floor, compute stages at the bf16 peak; a real ViT encoder is
+    # priced by its own flop/byte model.
+    from tpugs.utils.profiling import (
+        GATHER_FLOOR_GBPS,
+        lseg_encoder_model,
+        sol_estimate,
+    )
 
     slot_rows = None
     if sizes.classes:
@@ -229,6 +255,10 @@ def main():
     sol = sol_estimate(
         sizes.T_padded, args.width * args.height, args.feature_dim,
         slot_rows=slot_rows,
+        encode_model=(
+            lseg_encoder_model()
+            if args.encoder.startswith("lseg-random") else None
+        ),
     )
     meas_ms = 1e3 / views_per_s
     print(

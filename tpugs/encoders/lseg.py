@@ -172,8 +172,15 @@ class LSegEncoder:
 
     feature_dim = 512
 
-    def __init__(self, ckpt: Optional[str] = None, crop_size: int = 480):
+    def __init__(self, ckpt: Optional[str] = None, crop_size: int = 480,
+                 dtype=None):
+        """``dtype=jnp.bfloat16`` runs the ViT + head in bf16 (params,
+        activations) — the TPU-native production precision (MXU bf16
+        peak is ~4x the f32 rate); the per-pixel L2 norm and the resize
+        back to render resolution stay f32. The reference runs the
+        torch LSeg in f32 — the exact-parity path keeps dtype=None."""
         self.crop_size = crop_size
+        self.dtype = dtype
         self.net = LSegNet()
         if ckpt:
             from tpugs.encoders.convert import load_lseg_params
@@ -189,13 +196,22 @@ class LSegEncoder:
                 "LSegEncoder initialized with RANDOM weights (no checkpoint "
                 "given); outputs are not CLIP-aligned."
             )
+        if dtype is not None:
+            self.params = jax.tree_util.tree_map(
+                lambda a: a.astype(dtype)
+                if hasattr(a, "dtype") and a.dtype == jnp.float32
+                else a,
+                self.params,
+            )
         self._apply = jax.jit(self.net.apply)
 
     def __call__(self, image: jax.Array) -> jax.Array:
         H, W, _ = image.shape
         cs = self.crop_size
         x = jax.image.resize(image, (cs, cs, 3), "bilinear")[None]
-        feats = self._apply(self.params, x)[0]
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+        feats = self._apply(self.params, x)[0].astype(jnp.float32)
         feats = feats / (
             jnp.linalg.norm(feats, axis=-1, keepdims=True) + 1e-8
         )

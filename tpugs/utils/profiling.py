@@ -158,6 +158,39 @@ def reduce_model(n_slots: int, d_chan: int) -> dict:
     return {"flops": flops, "hbm_bytes": hbm}
 
 
+def lseg_encoder_model(
+    crop: int = 480,
+    patch: int = 16,
+    width: int = 1024,
+    layers: int = 24,
+    head_features: int = 256,
+    out_dim: int = 512,
+    bytes_per_param: float = 2.0,
+) -> dict:
+    """FLOPs/bytes of one LSeg ViT-L/16 forward at the reference's
+    480x480 crop protocol (``backproject.py:102-113``) — the teacher the
+    reference runs per view, priced so the SOL line can include a real
+    encoder instead of the toy linear map.
+
+    ViT: per layer ~24*T*w^2 matmul FLOPs + 4*T^2*w attention FLOPs
+    (T tokens). Head: 4 fusion levels of 3x3 conv pairs at doubling
+    resolutions + the out_dim projection at half-crop resolution.
+    Bytes: one pass over the parameters (~0.3 GParams) + crop image
+    traffic — activations assumed resident."""
+    t = (crop // patch) ** 2 + 1
+    vit_flops = layers * (24.0 * t * width**2 + 4.0 * t * t * width)
+    g = crop // patch
+    head_flops = 0.0
+    for k in range(4):
+        hw = float(g * 2**k) ** 2
+        head_flops += 4 * (2 * hw * 9 * head_features * head_features)
+    half = float(crop // 2) ** 2
+    head_flops += 2 * half * head_features * out_dim
+    n_params = layers * 12 * width**2 + 4 * 9 * head_features**2 * 4
+    hbm = n_params * bytes_per_param + crop * crop * 4.0 * (3 + out_dim)
+    return {"flops": vit_flops + head_flops, "hbm_bytes": hbm}
+
+
 # Empirical floor for strided row gathers on this chip/transport,
 # measured by scripts/exp_reduce.py in round 2 (the HBM spec rate is
 # unreachable for gather-shaped traffic; this is the honest denominator
@@ -172,6 +205,7 @@ def sol_estimate(
     slot_rows: Optional[int] = None,
     gather_gbps: float = GATHER_FLOOR_GBPS,
     peaks: Dict[str, float] = PEAKS_V5E,
+    encode_model: Optional[dict] = None,
 ) -> dict:
     """Aggregate per-view speed-of-light for the fused back-projection.
 
@@ -191,8 +225,10 @@ def sol_estimate(
     d = d_feat + 1  # ones-channel denominator rides along
     stages = {
         "render": sol(render_model(n_isect, n_pix, 3)),
-        # encoder: one n_pix x 3 @ 3 x d_feat matmul + image traffic
-        "encode": sol({
+        # encoder: pass encode_model (e.g. lseg_encoder_model()) to
+        # price a real ViT; the default prices the toy linear map
+        # (one n_pix x 3 @ 3 x d_feat matmul + image traffic)
+        "encode": sol(encode_model or {
             "flops": 2.0 * n_pix * 3 * d_feat,
             "hbm_bytes": n_pix * 2.0 * (3 + d_feat),
         }),
