@@ -108,7 +108,11 @@ def backproject_one_view_pallas(
         scene.means, scene.colors_all, viewmat, scene.sh_degree
     )
     packed = pack_isect_all(proj, cols3, plan)
-    tiles = render_pallas_raw(packed, plan, 4, interpret, trans_eps)
+    # Production fused path: the render feeds a (bf16) encoder, so the
+    # MXU transmittance prefix's ~0.2% pixel error is within budget.
+    mxu = contrib_dtype == jnp.bfloat16
+    tiles = render_pallas_raw(packed, plan, 4, interpret, trans_eps,
+                              mxu_prefix=mxu)
     if getattr(encoder, "pixelwise", False):
         # Pixelwise encoders run on the render kernel's native tile
         # layout — skips the tiles->image AND image->tiles transpose

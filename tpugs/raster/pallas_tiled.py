@@ -851,10 +851,18 @@ def pack_isect_all(
             zeros,
         ],
         axis=1,
-    )[order]  # (N, 16)
+    )  # (N, 16) in ORIGINAL order
+    n = packed.shape[0]
     dummy = jnp.zeros((1, PACK_ROWS), packed.dtype)
     packed = jnp.concatenate([packed, dummy], axis=0)  # (N+1, 16)
-    return jnp.transpose(packed[plan.padded_gid])  # (16, T_padded)
+    # Compose the depth-sort permutation with the slot->gid map so the
+    # big T-row gather indexes the ORIGINAL table directly: one cheap
+    # (T,) int gather replaces a full (N, 16) row-gather pass.
+    order_ext = jnp.concatenate(
+        [order.astype(jnp.int32), jnp.full((1,), n, jnp.int32)]
+    )
+    idx = order_ext[plan.padded_gid]
+    return jnp.transpose(packed[idx])  # (16, T_padded)
 
 
 # ------------------------------------------------------------- kernels
@@ -994,8 +1002,10 @@ def _tile_pixels(t, ntx: int, ts: int, tspx: int):
     return tx * ts + lx + 0.5, ty * ts + ly + 0.5
 
 
-def _make_render_kernel(ntx: int, ts: int, n_out: int, trans_eps: float, t_padded: int):
+def _make_render_kernel(ntx: int, ts: int, n_out: int, trans_eps: float,
+                        t_padded: int, mxu_prefix: bool = False):
     tspx = ts * ts
+    block_weights = _block_weights_mxu if mxu_prefix else _block_weights
 
     def kernel(
         starts_ref,
@@ -1052,7 +1062,7 @@ def _make_render_kernel(ntx: int, ts: int, n_out: int, trans_eps: float, t_padde
 
             remaining = end - start - b * BLOCK
             lane_valid = lane < remaining
-            w, trans = _block_weights(gbuf[slot], px_x, px_y, trans, lane_valid)
+            w, trans = block_weights(gbuf[slot], px_x, px_y, trans, lane_valid)
             # Per-channel accumulation: img[:, c] += sum_lanes w * col_c.
             # (n_out <= 4 small channel counts: lane reductions beat a
             # degenerate matmul and avoid transposing the color block.)
@@ -1097,8 +1107,13 @@ def render_pallas_raw(
     n_out: int = 4,  # color channels actually used (rgb+depth)
     interpret: bool = False,
     trans_eps: float = TRANS_EPS,
+    mxu_prefix: bool = False,
 ):
-    """Per-tile images (n_tiles, tspx, n_out + 1 alpha)."""
+    """Per-tile images (n_tiles, tspx, n_out + 1 alpha).
+
+    ``mxu_prefix``: log-space MXU transmittance prefix (production
+    fused-backprojection path, ~0.2% pixel error; exact renders keep
+    the default VPU scan)."""
     ntx, nty = tile_grid(plan.width, plan.height, plan.tile_size)
     n_tiles = ntx * nty
     ts = plan.tile_size
@@ -1119,7 +1134,8 @@ def render_pallas_raw(
         ],
     )
     out = pl.pallas_call(
-        _make_render_kernel(ntx, ts, n_out, trans_eps, plan.T_padded),
+        _make_render_kernel(ntx, ts, n_out, trans_eps, plan.T_padded,
+                            mxu_prefix),
         out_shape=jax.ShapeDtypeStruct((n_tiles, tspx, n_out + 1), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
