@@ -42,6 +42,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 from tpugs.raster.pallas_tiled import PallasSizes, build_plan_pure
 from tpugs.raster.projection import ProjectionConfig
 from tpugs.utils.synthetic import orbit_cameras, random_scene
+from tpugs.utils.order import morton_permutation, permute_scene
 from tpugs.utils.timing import measure
 
 import argparse
@@ -53,30 +54,6 @@ _ap.add_argument("--height", type=int, default=840)
 _args = _ap.parse_args()
 N, W, H = _args.num_gaussians, _args.width, _args.height
 TS = 32
-
-
-def morton_order(means: np.ndarray, bits: int = 10) -> np.ndarray:
-    """Permutation sorting points by 3D Morton (Z-curve) code."""
-    lo = means.min(axis=0)
-    hi = means.max(axis=0)
-    q = ((means - lo) / np.maximum(hi - lo, 1e-9) * (2**bits - 1)).astype(
-        np.uint64
-    )
-
-    def spread(v):
-        v &= np.uint64((1 << bits) - 1)
-        v = (v | (v << np.uint64(16))) & np.uint64(0x030000FF030000FF)
-        v = (v | (v << np.uint64(8))) & np.uint64(0x0300F00F0300F00F)
-        v = (v | (v << np.uint64(4))) & np.uint64(0x030C30C3030C30C3)
-        v = (v | (v << np.uint64(2))) & np.uint64(0x0924924909249249)
-        return v
-
-    code = (
-        spread(q[:, 0])
-        | (spread(q[:, 1]) << np.uint64(1))
-        | (spread(q[:, 2]) << np.uint64(2))
-    )
-    return np.argsort(code, kind="stable")
 
 
 def load_sizes(scene, cams):
@@ -125,15 +102,7 @@ def main():
 
     scene = random_scene(N, seed=0, extent=1.0, scale_range=(0.004, 0.02))
     sizes = load_sizes(scene, cams)
-    perm = morton_order(np.asarray(scene.means))
-    scene_m = scene.replace(
-        means=scene.means[perm],
-        quats=scene.quats[perm],
-        log_scales=scene.log_scales[perm],
-        logit_opacities=scene.logit_opacities[perm],
-        sh0=scene.sh0[perm],
-        shN=scene.shN[perm],
-    )
+    scene_m = permute_scene(scene, morton_permutation(scene))
 
     plans = {}
     for name, sc in (("default", scene), ("morton", scene_m)):
@@ -152,8 +121,13 @@ def main():
     time_gather(table_s, idx_rand, "pack[uniform-random]")
     time_gather(table_s, idx_sort, "pack[sorted]")
     for name in ("default", "morton"):
-        idx = plans[name].padded_gid  # slot -> depth-ordered gid
-        time_gather(table_s, jnp.minimum(idx, N), f"pack[plan-{name}]")
+        plan = plans[name]
+        # the composed pack index (pack_isect_all): slot -> ORIGINAL id
+        order_ext = jnp.concatenate(
+            [plan.order.astype(jnp.int32), jnp.full((1,), N, jnp.int32)]
+        )
+        idx = order_ext[jnp.minimum(plan.padded_gid, N)]
+        time_gather(table_s, idx, f"pack[plan-{name}]")
 
     # ---- reduce-shaped gather: 640 bf16 (1.28 KB) rows from a T-table
     print("\n== reduce-shaped gather: (T+128, 640) bf16 table ==")
