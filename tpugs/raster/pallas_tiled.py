@@ -973,7 +973,10 @@ def _block_weights_mxu(geom, px_x, px_y, trans, lane_valid):
     alpha = jnp.where(keep, alpha, 0.0)
     # log(1-alpha): masked lanes have alpha=0 -> log1=0 (no masking
     # needed); ALPHA_MAX caps alpha so om >= 1e-3 and the log is finite.
-    log_om = jnp.log1p(-alpha)
+    # (plain log of the subtraction, not log1p: om >= 1e-3 keeps the
+    # rounding of (1-alpha) at <= 2e-5 relative, and log is the safer
+    # Mosaic lowering)
+    log_om = jnp.log(1.0 - alpha)
     n_lanes = alpha.shape[1]
     row = jax.lax.broadcasted_iota(jnp.int32, (n_lanes, n_lanes), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (n_lanes, n_lanes), 1)
