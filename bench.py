@@ -126,6 +126,11 @@ def main():
     ap.add_argument("--group", type=int, default=4,
                     help="views per jitted dispatch (amortizes the "
                          "remote transport latency)")
+    ap.add_argument("--morton", action="store_true",
+                    help="Z-curve-sort the scene before lifting "
+                         "(clusters the pack/reduce gather indices; "
+                         "outputs are unpermuted, so results are "
+                         "identical up to float reassociation)")
     ap.add_argument("--encoder", default="linear",
                     choices=("linear", "lseg-random", "lseg-random-f32"),
                     help="2D teacher in the fused loop: the default "
@@ -183,6 +188,10 @@ def main():
     else:
         encoder = LinearRGBEncoder(feature_dim=args.feature_dim)
     interpret = jax.devices()[0].platform == "cpu"
+    if args.morton:
+        from tpugs.utils.order import morton_permutation, permute_scene
+
+        scene = permute_scene(scene, morton_permutation(scene))
     sizes = _load_or_estimate_sizes(args, scene, cams, DEFAULT_TILE)
 
     group = min(args.group, args.views)

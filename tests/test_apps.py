@@ -26,6 +26,31 @@ def _make_dataset(tmp_path, n=80, n_cams=3, wh=(64, 48)):
     return data_dir, ckpt
 
 
+def test_backproject_morton_matches_default(tmp_path):
+    """--morton (Z-curve scene reordering for gather locality) must
+    produce the same saved feature field, unpermuted."""
+    from tpugs.apps.backproject import main as backproject_main
+
+    data_dir, ckpt = _make_dataset(tmp_path)
+    kw = dict(
+        data_dir=data_dir, checkpoint=ckpt, format="gsplat",
+        data_factor=1, feature="linear:8", engine="scan",
+        skip_prune=True,
+    )
+    f0 = np.asarray(backproject_main(
+        results_dir=str(tmp_path / "r0"), **kw
+    ))
+    f0_saved = np.load(
+        os.path.join(str(tmp_path / "r0"), "features_linear:8.npz")
+    )["features"]
+    backproject_main(results_dir=str(tmp_path / "r1"), morton=True, **kw)
+    f1 = np.load(
+        os.path.join(str(tmp_path / "r1"), "features_linear:8.npz")
+    )["features"]
+    np.testing.assert_allclose(f1, f0_saved, atol=2e-5)
+    np.testing.assert_allclose(f0, f0_saved, atol=0)
+
+
 def test_backproject_then_segment_cli(tmp_path):
     from tpugs.apps.backproject import main as backproject_main
     from tpugs.apps.segment import main as segment_main

@@ -28,12 +28,16 @@ def main(
     batch: bool = True,
     engine: str = "auto",
     strict_sizes: bool = False,
+    morton: bool = False,
 ):
     """``engine``: 'pallas' (production TPU kernels, the bench path),
     'scan' (pure-JAX one-jit batch), 'eager' (per-view loop), or
     'auto' = pallas on an accelerator, scan on CPU. ``--no-batch`` is
     kept as an alias for engine=eager. ``strict_sizes`` turns the
-    host-side static-size overflow audit from a warning into an error."""
+    host-side static-size overflow audit from a warning into an error.
+    ``morton``: Z-curve-sort the scene before lifting (clusters the hot
+    gather indices); features are unpermuted before saving, so the
+    output is identical up to float reassociation."""
     import jax
 
     from tpugs.encoders import get_encoder
@@ -50,6 +54,18 @@ def main(
         scene = pruned
 
     encoder = get_encoder(feature, encoder_ckpt or None)
+
+    inv_perm = None
+    if morton:
+        from tpugs.utils.order import (
+            inverse_permutation,
+            morton_permutation,
+            permute_scene,
+        )
+
+        perm = morton_permutation(scene)
+        inv_perm = inverse_permutation(perm)
+        scene = permute_scene(scene, perm)
 
     if engine == "auto":
         on_cpu = jax.devices()[0].platform == "cpu"
@@ -96,8 +112,11 @@ def main(
         raise ValueError(f"unknown engine {engine!r} "
                          "(expected auto|pallas|scan|eager)")
 
+    features = np.asarray(features)
+    if inv_perm is not None:
+        features = features[np.asarray(inv_perm)]
     out = os.path.join(results_dir, f"features_{feature}.npz")
-    np.savez(out, features=np.asarray(features))
+    np.savez(out, features=features)
     print("Saved", out, features.shape)
     return features
 
