@@ -83,7 +83,7 @@ def _watchdog(budget_s):
 
 def _sizes_cache_key(args, tile):
     return (f"n{args.num_gaussians}_w{args.width}_h{args.height}"
-            f"_t{tile}_v{args.views}_s3")
+            f"_t{tile}_v{args.views}_s3_e2")
 
 
 def _load_or_estimate_sizes(args, scene, cams, tile):
@@ -103,7 +103,7 @@ def _load_or_estimate_sizes(args, scene, cams, tile):
             return PallasSizes(**d)
     except (OSError, ValueError, TypeError):
         cache = {}
-    sizes = estimate_sizes_pallas(scene, cams, probe_stride=2,
+    sizes = estimate_sizes_pallas(scene, cams, probe_stride=1,
                                   tile_size=tile)
     try:
         cache[key] = {**sizes._asdict(),

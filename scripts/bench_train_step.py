@@ -40,6 +40,9 @@ def main():
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--engines", type=str, default="pallas,tiled")
     ap.add_argument("--sh-degree", type=int, default=3)
+    ap.add_argument("--tile-size", type=int, default=0,
+                    help="pallas tile size (0 = TrainConfig default, "
+                    "which auto-selects 32 at >=1M-pixel renders)")
     args = ap.parse_args()
 
     import jax
@@ -75,6 +78,8 @@ def main():
             feature_dim=args.feature_dim,
             feature_out_dim=args.teacher_dim,
             strategy="none", random_bkgd=False, raster_engine=engine,
+            **({"pallas_tile_size": args.tile_size} if args.tile_size
+               else {}),
         )
         scene = init_scene_from_points(pts, rgbs, cfg)
         tr = Trainer(cfg, scene, 1.0, teacher=teacher, width=W, height=H,

@@ -125,7 +125,8 @@ def main():
             w = tx1 - tx0
             cnt = w * (ty1 - ty0)
             w_safe = jnp.maximum(w, 1)
-            cut_r2 = proj.cut_r2[order]
+            conics = proj.conics[order]
+            sig_cut = proj.sig_cut[order]
             cover_rank = jnp.argsort(-cnt)
 
             def expand(rows, slots_per):
@@ -142,9 +143,34 @@ def main():
                 y0 = (r_ty0 + jy).astype(jnp.float32) * ts
                 mx = m2d[rows, 0][None, :]
                 my = m2d[rows, 1][None, :]
-                dx = jnp.maximum(jnp.maximum(x0 - mx, mx - (x0 + ts)), 0.0)
-                dy = jnp.maximum(jnp.maximum(y0 - my, my - (y0 + ts)), 0.0)
-                sv &= dx * dx + dy * dy <= cut_r2[rows][None, :]
+                ca = conics[rows, 0][None, :]
+                cb = conics[rows, 1][None, :]
+                cc = conics[rows, 2][None, :]
+                sc = sig_cut[rows][None, :]
+                lx = x0 - mx
+                ux = lx + ts
+                ly = y0 - my
+                uy = ly + ts
+                inside = (lx <= 0.0) & (ux >= 0.0) & (ly <= 0.0) & (uy >= 0.0)
+                ca_s = jnp.maximum(ca, 1e-12)
+                cc_s = jnp.maximum(cc, 1e-12)
+
+                def _edge_x(dxe):
+                    dye = jnp.clip(-cb * dxe / cc_s, ly, uy)
+                    return (0.5 * ca) * dxe * dxe + (0.5 * cc) * dye * dye \
+                        + cb * dxe * dye
+
+                def _edge_y(dye):
+                    dxe = jnp.clip(-cb * dye / ca_s, lx, ux)
+                    return (0.5 * ca) * dxe * dxe + (0.5 * cc) * dye * dye \
+                        + cb * dxe * dye
+
+                qmin = jnp.minimum(
+                    jnp.minimum(_edge_x(lx), _edge_x(ux)),
+                    jnp.minimum(_edge_y(ly), _edge_y(uy)),
+                )
+                qmin = jnp.where(inside, 0.0, qmin)
+                sv &= qmin <= sc + 1e-3
                 t = (r_ty0 + jy) * ntx + (r_tx0 + jx)
                 t = jnp.where(sv, t, n_tiles).astype(jnp.int32)
                 g = jnp.where(sv, rows[None, :], n).astype(jnp.int32)

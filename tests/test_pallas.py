@@ -433,7 +433,7 @@ def test_estimate_sizes_high_cover_histogram_not_truncated():
 
 
 def test_subcutoff_tile_cull_exact_and_shrinks():
-    """The sub-cutoff circle-vs-tile-rect cull (projection.cut_r2 +
+    """The sub-cutoff ellipse-vs-tile-rect cull (projection.sig_cut +
     binning.tile_cut_mask) must drop only provably-zero intersections:
     renders match a bbox-only binning to float reassociation noise,
     while low-opacity
@@ -458,7 +458,9 @@ def test_subcutoff_tile_cull_exact_and_shrinks():
     isects = {}
     for tag, p in (
         ("cut", proj),
-        ("nocut", proj._replace(cut_r2=proj.radii**2)),
+        # sig_cut = +inf keeps every bbox candidate (no cull)
+        ("nocut", proj._replace(
+            sig_cut=jnp.full_like(proj.sig_cut, 1e30))),
     ):
         b = build_tile_binning(p, 16, W, H, 64)
         od = b.order

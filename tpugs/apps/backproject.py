@@ -82,7 +82,7 @@ def main(
         )
         from tpugs.raster.pallas_tiled import check_pallas_sizes
 
-        sizes = estimate_sizes_pallas(scene, cams, probe_stride=2)
+        sizes = estimate_sizes_pallas(scene, cams, probe_stride=1)
         check_pallas_sizes(
             scene.means, scene.quats, scene.scales, scene.opacities,
             cams.viewmats, cams.Ks, cams.width, cams.height, sizes,

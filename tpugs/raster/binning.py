@@ -66,27 +66,61 @@ def tile_bbox(
 
 def tile_cut_mask(
     means2d: jax.Array,  # (N, 2)
-    cut_r2: jax.Array,  # (N,)
+    conics: jax.Array,  # (N, 3) inverse-covariance upper triangle (a, b, c)
+    sig_cut: jax.Array,  # (N,) sigma threshold ln(255*op); -1 if invalid
     tx: jax.Array,  # (N, K) candidate tile x indices
     ty: jax.Array,  # (N, K)
     tile_size: int,
 ) -> jax.Array:
     """False where every pixel of tile (tx, ty) is provably below the
-    1/255 alpha clip for the Gaussian (``cut_r2`` from ``project``):
-    the nearest point of the tile rectangle to the 2D mean is farther
-    than the cutoff circle. Dropping those intersections changes no
-    output beyond f32 reassociation (the kernels zero sub-clip alphas
-    anyway; removing zero entries only shifts block boundaries). Pixel
-    centers sit at +0.5 inside [x0, x0+ts], so testing the full
-    rectangle is conservative."""
+    1/255 alpha clip for the Gaussian: the EXACT minimum of the conic
+    quadratic sigma(p) = 0.5*(a dx^2 + c dy^2) + b dx dy over the tile
+    rectangle exceeds ``sig_cut`` = ln(255*op) (``project``), i.e.
+    alpha = op*exp(-sigma) < 1/255 everywhere in the tile. Dropping
+    those intersections changes no output beyond f32 reassociation (the
+    kernels zero sub-clip alphas anyway; removing zero entries only
+    shifts block boundaries). Unlike the earlier circular bound
+    (2*lambda_max*sig_cut radius), the ellipse test prunes the
+    anisotropy slop — elongated Gaussians keep a circle of the MAJOR
+    axis, covering ~16% more tiles than their true extent at garden
+    scale. Pixel centers sit at +0.5 inside [x0, x0+ts], so testing the
+    full rectangle is conservative; the min of a convex quadratic over
+    a rectangle is 0 if the mean is inside, else the min over the four
+    edges, each a clamped 1D quadratic."""
     ts = float(tile_size)
     x0 = tx.astype(jnp.float32) * ts
-    y0 = ty.astype(jnp.float32) * ts
     mx = means2d[..., 0:1]
     my = means2d[..., 1:2]
-    dx = jnp.maximum(jnp.maximum(x0 - mx, mx - (x0 + ts)), 0.0)
-    dy = jnp.maximum(jnp.maximum(y0 - my, my - (y0 + ts)), 0.0)
-    return dx * dx + dy * dy <= cut_r2[..., None]
+    y0 = ty.astype(jnp.float32) * ts
+    a = conics[..., 0:1]
+    b = conics[..., 1:2]
+    c = conics[..., 2:3]
+    # Tile rectangle in mean-relative coordinates.
+    lx = x0 - mx
+    ux = lx + ts
+    ly = y0 - my
+    uy = ly + ts
+    inside = (lx <= 0.0) & (ux >= 0.0) & (ly <= 0.0) & (uy >= 0.0)
+    a_s = jnp.maximum(a, 1e-12)
+    c_s = jnp.maximum(c, 1e-12)
+
+    def edge_x(dx):  # min over dy in [ly, uy] at fixed dx (c > 0: convex)
+        dy = jnp.clip(-b * dx / c_s, ly, uy)
+        return (0.5 * a) * dx * dx + (0.5 * c) * dy * dy + b * dx * dy
+
+    def edge_y(dy):
+        dx = jnp.clip(-b * dy / a_s, lx, ux)
+        return (0.5 * a) * dx * dx + (0.5 * c) * dy * dy + b * dx * dy
+
+    qmin = jnp.minimum(
+        jnp.minimum(edge_x(lx), edge_x(ux)),
+        jnp.minimum(edge_y(ly), edge_y(uy)),
+    )
+    qmin = jnp.where(inside, 0.0, qmin)
+    # 1e-3 sigma headroom absorbs f32 ordering differences between this
+    # bound and the kernels' per-pixel sigma (weights near the clip are
+    # ~1/255; the old circular bound used 1e-4 relative on r^2).
+    return qmin <= sig_cut[..., None] + 1e-3
 
 
 class TileBinning(NamedTuple):
@@ -132,8 +166,8 @@ def build_tile_binning(
     # Drop bbox candidates that are provably below the alpha clip
     # everywhere in the tile (exact; see tile_cut_mask).
     slot_valid &= tile_cut_mask(
-        m2d, proj.cut_r2[order], tx0[:, None] + jx, ty0[:, None] + jy,
-        tile_size,
+        m2d, proj.conics[order], proj.sig_cut[order],
+        tx0[:, None] + jx, ty0[:, None] + jy, tile_size,
     )
     tid = (ty0[:, None] + jy) * ntx + (tx0[:, None] + jx)
     tid = jnp.where(slot_valid, tid, n_tiles).astype(jnp.int32)

@@ -245,7 +245,8 @@ def _plan_build(
     h = ty1 - ty0
     cnt = w * h
     w_safe = jnp.maximum(w, 1)
-    cut_r2 = proj.cut_r2[order]
+    conics = proj.conics[order]
+    sig_cut = proj.sig_cut[order]
 
     # ---- size-classed expansion: sort Gaussians by descending cover
     # and give each class of ranks only as many expansion slots as its
@@ -280,16 +281,43 @@ def _plan_build(
         # Sub-cutoff tile cull (exact): bbox candidates whose whole tile
         # is below the 1/255 alpha clip become sentinels, shrinking the
         # real per-tile spans (hence T_padded, the adjoint grid, and the
-        # reduce) without changing any output pixel or gradient. Inline
-        # (slots, count)-layout form of binning.tile_cut_mask.
+        # pack) without changing any output pixel or gradient. Inline
+        # (slots, count)-layout form of binning.tile_cut_mask (exact
+        # ellipse-vs-tile-rect: min of the conic quadratic over the
+        # rect vs ln(255*op) — see that docstring for the math).
         ts = float(tile_size)
         x0 = (r_tx0 + jx).astype(jnp.float32) * ts
         y0 = (r_ty0 + jy).astype(jnp.float32) * ts
         mx = m2d[rows, 0][None, :]
         my = m2d[rows, 1][None, :]
-        dx = jnp.maximum(jnp.maximum(x0 - mx, mx - (x0 + ts)), 0.0)
-        dy = jnp.maximum(jnp.maximum(y0 - my, my - (y0 + ts)), 0.0)
-        sv &= dx * dx + dy * dy <= cut_r2[rows][None, :]
+        ca = conics[rows, 0][None, :]
+        cb = conics[rows, 1][None, :]
+        cc = conics[rows, 2][None, :]
+        sc = sig_cut[rows][None, :]
+        lx = x0 - mx
+        ux = lx + ts
+        ly = y0 - my
+        uy = ly + ts
+        inside = (lx <= 0.0) & (ux >= 0.0) & (ly <= 0.0) & (uy >= 0.0)
+        ca_s = jnp.maximum(ca, 1e-12)
+        cc_s = jnp.maximum(cc, 1e-12)
+
+        def _edge_x(dxe):
+            dye = jnp.clip(-cb * dxe / cc_s, ly, uy)
+            return (0.5 * ca) * dxe * dxe + (0.5 * cc) * dye * dye \
+                + cb * dxe * dye
+
+        def _edge_y(dye):
+            dxe = jnp.clip(-cb * dye / ca_s, lx, ux)
+            return (0.5 * ca) * dxe * dxe + (0.5 * cc) * dye * dye \
+                + cb * dxe * dye
+
+        qmin = jnp.minimum(
+            jnp.minimum(_edge_x(lx), _edge_x(ux)),
+            jnp.minimum(_edge_y(ly), _edge_y(uy)),
+        )
+        qmin = jnp.where(inside, 0.0, qmin)
+        sv &= qmin <= sc + 1e-3
         t = (r_ty0 + jy) * ntx + (r_tx0 + jx)
         t = jnp.where(sv, t, n_tiles).astype(jnp.int32)
         g = jnp.where(sv, rows[None, :], n).astype(jnp.int32)
@@ -952,7 +980,18 @@ def _block_weights_mxu(geom, px_x, px_y, trans, lane_valid):
     with |cumsum| large are exactly the ones whose transmittance (hence
     weight) has decayed exponentially, so the ABSOLUTE weight error
     stays ~2^-9 of the leading weights — within the production bf16
-    path's existing ~0.4% budget. Exact f32 paths keep the VPU scan."""
+    path's existing ~0.4% budget. Exact f32 paths keep the VPU scan.
+
+    This fast path also drops the exact path's keep-mask chain (the
+    kernel is VPU-bound, so every per-pair op counts):
+    - ``lane_valid`` is redundant: block-padding slots carry the pack's
+      dummy row (opacity 0 -> alpha 0 -> log_om 0 -> w 0).
+    - ``sigma >= 0`` guards invalid conics, but invalid Gaussians are
+      packed with opacity 0; for valid (PSD) conics sigma < 0 only by
+      f32 rounding at the mean, where alpha ~ op either way. The clamp
+      in exp(-max(sigma, 0)) bounds the result.
+    ``lane_valid`` stays in the signature for interface parity."""
+    del lane_valid
     mx = geom[0:1, :]
     my = geom[1:2, :]
     ca = geom[2:3, :]
@@ -963,14 +1002,9 @@ def _block_weights_mxu(geom, px_x, px_y, trans, lane_valid):
     dy = px_y - my
     sigma = 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
     e = jnp.exp(-jnp.maximum(sigma, 0.0))
-    alpha_raw = op * e
-    alpha = jnp.minimum(alpha_raw, ALPHA_MAX)
-    keep = (
-        (sigma >= 0.0)
-        & (jnp.where(sigma >= 0.0, alpha, 0.0) >= ALPHA_MIN)
-        & lane_valid
-    )
-    alpha = jnp.where(keep, alpha, 0.0)
+    alpha = jnp.minimum(op * e, ALPHA_MAX)
+    # 1/255 compositing clip (gsplat parity; one compare+select)
+    alpha = jnp.where(alpha >= ALPHA_MIN, alpha, 0.0)
     # log(1-alpha): masked lanes have alpha=0 -> log1=0 (no masking
     # needed); ALPHA_MAX caps alpha so om >= 1e-3 and the log is finite.
     # (plain log of the subtraction, not log1p: om >= 1e-3 keeps the

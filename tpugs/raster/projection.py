@@ -35,6 +35,13 @@ class Projected(NamedTuple):
     #                     provably < 1/255 (the compositing clip) — tiles
     #                     entirely outside this circle can be dropped from
     #                     tile lists (output exact up to f32 reassociation)
+    sig_cut: jax.Array  # (N,) sigma threshold of the same 1/255 clip:
+    #                     alpha = op*exp(-sigma) < 1/255 iff sigma >
+    #                     ln(255*op). Drives the EXACT ellipse-vs-tile
+    #                     cull (binning.tile_cut_mask), which prunes the
+    #                     anisotropy slop the circular cut_r2 bound keeps
+    #                     (~14% of intersections at garden scale). -1
+    #                     where invalid (culls every candidate).
 
 
 def quat_to_rotmat(quats: jax.Array) -> jax.Array:
@@ -203,6 +210,9 @@ def project(
     cut_r2 = 2.0 * lambda_max * jnp.log(jnp.maximum(255.0 * opac, 1.0))
     cut_r2 = jnp.minimum(cut_r2 * 1.0001, radius * radius)
     cut_r2 = jnp.where(valid, cut_r2, 0.0)
+    # Exact sigma-space form of the same clip (see Projected.sig_cut).
+    sig_cut = jnp.log(jnp.maximum(255.0 * opac, 1.0))
+    sig_cut = jnp.where(valid, sig_cut, -1.0)
     return Projected(
         means2d=means2d,
         conics=conic,
@@ -211,6 +221,7 @@ def project(
         opacities=opac,
         valid=valid,
         cut_r2=cut_r2,
+        sig_cut=sig_cut,
     )
 
 

@@ -111,9 +111,14 @@ class TrainConfig:
     # VJP), "pallas" (fused TPU kernels fwd+bwd, raster/pallas_train.py),
     # "auto" = pallas on accelerators, tiled on CPU
     raster_engine: str = "auto"
-    # tile edge for the Pallas training kernels (16 keeps the backward's
-    # (ts*ts, BLOCK) VPU temporaries comfortably in VMEM at wide D)
-    pallas_tile_size: int = 16
+    # tile edge for the Pallas training kernels. 0 = auto: 32 for
+    # >=1M-pixel renders, else 16. Tile 32 quarters the intersection
+    # count T at roughly constant pixel-pair work, which quarters the
+    # backward's two T-row HBM buffers (pack + contributions) — at
+    # garden scale (1296x840, D=128) tile 16 needs ~15 GB of backward
+    # temps and OOMs a 16 GB v5e chip; tile 32 fits. Tile 16 keeps the
+    # (ts*ts, BLOCK) VPU temporaries smaller for little renders.
+    pallas_tile_size: int = 0
     # extra headroom on the measured Pallas size buckets: the scene keeps
     # moving between refines (sizes are re-estimated only on refine), so
     # training wants more margin than the static lift pipeline's 1.25

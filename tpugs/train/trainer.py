@@ -232,6 +232,11 @@ class Trainer:
             antialiased=cfg.antialiased,
         )
         self.tile_config = TileConfig()
+        # Resolved Pallas tile edge (cfg 0 = auto by render area; see
+        # TrainConfig.pallas_tile_size).
+        self.pallas_tile_size = cfg.pallas_tile_size or (
+            32 if width * height >= (1 << 20) else 16
+        )
         # Rasterizer engine for the train step. "auto" picks the fused
         # Pallas kernels on accelerators; on CPU the pure-JAX tiled path
         # compiles natively while Pallas would run in slow interpret mode.
@@ -366,7 +371,7 @@ class Trainer:
                 self.scene.means, self.scene.quats, self.scene.scales,
                 self.scene.opacities, viewmats[:4], Ks[:4],
                 self.width, self.height, self.proj_config,
-                tile_size=self.cfg.pallas_tile_size,
+                tile_size=self.pallas_tile_size,
                 margin=self.cfg.pallas_size_margin,
             )
             return
@@ -499,7 +504,7 @@ class Trainer:
             # is rebuilt per step from the projected geometry; gradients
             # flow through render_plan_train's analytic backward kernel.
             plan, size_stats = _plan_build(
-                proj, cfg.pallas_tile_size, self.width, self.height,
+                proj, self.pallas_tile_size, self.width, self.height,
                 sizes.max_cover, sizes.T_padded, sizes.T_padded,
                 sizes.cover_pad, sizes.cover_caps, sizes.classes,
                 with_stats=True,
@@ -954,7 +959,7 @@ class Trainer:
             return render_scene_pallas(
                 self.scene, viewmat, K, self.width, self.height,
                 sh_degree=deg, proj_config=self.proj_config,
-                tile_size=self.cfg.pallas_tile_size,
+                tile_size=self.pallas_tile_size,
                 interpret=self._interpret,
             )
         from tpugs.raster.api import plan_render, rasterize_with_plan
