@@ -117,23 +117,34 @@ def main():
                            scene.opacities, vm, K, W, H, pc)
             depth_key = jnp.where(proj.valid, proj.depths, jnp.inf)
             order = jnp.argsort(depth_key)
-            m2d = proj.means2d[order]
-            radii = proj.radii[order]
-            valid = proj.valid[order]
+            tab0 = jnp.concatenate(
+                [proj.means2d, proj.conics, proj.sig_cut[:, None],
+                 proj.radii[:, None],
+                 jnp.where(proj.valid, 1.0, 0.0)[:, None]], axis=1,
+            )[order]
+            m2d = tab0[:, 0:2]
+            radii = tab0[:, 6]
+            valid = tab0[:, 7] > 0.5
             tx0, ty0, tx1, ty1 = tile_bbox(m2d, radii, valid, args.tile,
                                            ntx, nty)
             w = tx1 - tx0
             cnt = w * (ty1 - ty0)
             w_safe = jnp.maximum(w, 1)
-            conics = proj.conics[order]
-            sig_cut = proj.sig_cut[order]
+            etab = jnp.concatenate(
+                [tx0[:, None].astype(jnp.float32),
+                 ty0[:, None].astype(jnp.float32),
+                 w_safe[:, None].astype(jnp.float32),
+                 cnt[:, None].astype(jnp.float32),
+                 tab0[:, 0:6]], axis=1,
+            )
             cover_rank = jnp.argsort(-cnt)
 
             def expand(rows, slots_per):
-                r_tx0 = tx0[rows][None, :]
-                r_ty0 = ty0[rows][None, :]
-                r_w = w_safe[rows][None, :]
-                r_cnt = cnt[rows][None, :]
+                r = etab[rows]
+                r_tx0 = r[:, 0].astype(jnp.int32)[None, :]
+                r_ty0 = r[:, 1].astype(jnp.int32)[None, :]
+                r_w = r[:, 2].astype(jnp.int32)[None, :]
+                r_cnt = r[:, 3].astype(jnp.int32)[None, :]
                 jj = jnp.arange(slots_per, dtype=jnp.int32)[:, None]
                 jx = jj % r_w
                 jy = jj // r_w
@@ -141,12 +152,12 @@ def main():
                 ts = float(args.tile)
                 x0 = (r_tx0 + jx).astype(jnp.float32) * ts
                 y0 = (r_ty0 + jy).astype(jnp.float32) * ts
-                mx = m2d[rows, 0][None, :]
-                my = m2d[rows, 1][None, :]
-                ca = conics[rows, 0][None, :]
-                cb = conics[rows, 1][None, :]
-                cc = conics[rows, 2][None, :]
-                sc = sig_cut[rows][None, :]
+                mx = r[:, 4][None, :]
+                my = r[:, 5][None, :]
+                ca = r[:, 6][None, :]
+                cb = r[:, 7][None, :]
+                cc = r[:, 8][None, :]
+                sc = r[:, 9][None, :]
                 lx = x0 - mx
                 ux = lx + ts
                 ly = y0 - my

@@ -237,16 +237,42 @@ def _plan_build(
 
     depth_key = jnp.where(proj.valid, proj.depths, jnp.inf)
     order = jnp.argsort(depth_key)
-    m2d = proj.means2d[order]
-    radii = proj.radii[order]
-    valid = proj.valid[order]
+    # The TPU row gather is row-RATE-bound (~63 M rows/s for any row
+    # width up to ~64 B — BASELINE round 4), so every per-Gaussian array
+    # permuted or gathered separately pays the full N-row price. Stack
+    # all depth-ordered inputs into ONE table: one permute here, one
+    # row gather per class inside expand.
+    tab0 = jnp.concatenate(
+        [
+            proj.means2d,  # 0:2  mx, my
+            proj.conics,  # 2:5  ca, cb, cc
+            proj.sig_cut[:, None],  # 5
+            proj.radii[:, None],  # 6
+            jnp.where(proj.valid, 1.0, 0.0)[:, None],  # 7
+        ],
+        axis=1,
+    )[order]
+    m2d = tab0[:, 0:2]
+    radii = tab0[:, 6]
+    valid = tab0[:, 7] > 0.5
     tx0, ty0, tx1, ty1 = tile_bbox(m2d, radii, valid, tile_size, ntx, nty)
     w = tx1 - tx0
     h = ty1 - ty0
     cnt = w * h
     w_safe = jnp.maximum(w, 1)
-    conics = proj.conics[order]
-    sig_cut = proj.sig_cut[order]
+    # Expand-side table: bbox ints (exact in f32: tiles < 2^12, covers
+    # < 2^12) + the cull inputs. 10 f32 columns = 40-B rows, still one
+    # row-gather unit.
+    etab = jnp.concatenate(
+        [
+            tx0[:, None].astype(jnp.float32),  # 0
+            ty0[:, None].astype(jnp.float32),  # 1
+            w_safe[:, None].astype(jnp.float32),  # 2
+            cnt[:, None].astype(jnp.float32),  # 3
+            tab0[:, 0:6],  # 4:10  mx, my, ca, cb, cc, sig_cut
+        ],
+        axis=1,
+    )
 
     # ---- size-classed expansion: sort Gaussians by descending cover
     # and give each class of ranks only as many expansion slots as its
@@ -263,14 +289,15 @@ def _plan_build(
         # minor (lane) dim, so the VPU is fully packed; a (count,
         # slots_per) layout pads the tiny minor dim (4..24) to 128 lanes
         # and wastes ~97% of it (measured 93 ms -> 9 ms for this stage).
-        # Gathers stay at (count,) granularity (one per per-Gaussian
-        # array), NOT per-entry — per-entry scalar gathers are
-        # latency-bound on TPU (measured 5x slower overall). Entries
-        # flatten j-MAJOR; the slot-table reassembly below matches.
-        r_tx0 = tx0[rows][None, :]
-        r_ty0 = ty0[rows][None, :]
-        r_w = w_safe[rows][None, :]
-        r_cnt = cnt[rows][None, :]
+        # ONE (count, 10) row gather fetches every per-Gaussian input —
+        # per-array gathers each pay the full row-rate price, per-entry
+        # scalar gathers are latency-bound (measured 5x slower overall).
+        # Entries flatten j-MAJOR; the slot-table reassembly matches.
+        r = etab[rows]  # (count, 10)
+        r_tx0 = r[:, 0].astype(jnp.int32)[None, :]
+        r_ty0 = r[:, 1].astype(jnp.int32)[None, :]
+        r_w = r[:, 2].astype(jnp.int32)[None, :]
+        r_cnt = r[:, 3].astype(jnp.int32)[None, :]
         jj = jnp.arange(slots_per, dtype=jnp.int32)[:, None]
         jx = jj % r_w
         jy = jj // r_w
@@ -288,12 +315,12 @@ def _plan_build(
         ts = float(tile_size)
         x0 = (r_tx0 + jx).astype(jnp.float32) * ts
         y0 = (r_ty0 + jy).astype(jnp.float32) * ts
-        mx = m2d[rows, 0][None, :]
-        my = m2d[rows, 1][None, :]
-        ca = conics[rows, 0][None, :]
-        cb = conics[rows, 1][None, :]
-        cc = conics[rows, 2][None, :]
-        sc = sig_cut[rows][None, :]
+        mx = r[:, 4][None, :]
+        my = r[:, 5][None, :]
+        ca = r[:, 6][None, :]
+        cb = r[:, 7][None, :]
+        cc = r[:, 8][None, :]
+        sc = r[:, 9][None, :]
         lx = x0 - mx
         ux = lx + ts
         ly = y0 - my
@@ -881,16 +908,18 @@ def pack_isect_all(
         axis=1,
     )  # (N, 16) in ORIGINAL order
     n = packed.shape[0]
+    # Permute to depth-sorted order FIRST (an N-row gather), then gather
+    # slots by padded_gid directly. Composing the permutation into the
+    # slot indices instead (order_ext[padded_gid]) looks cheaper but is
+    # a T-row int gather, and the TPU row gather is row-RATE-bound
+    # (~34-63 M rows/s regardless of row bytes, see BASELINE round 4):
+    # at garden scale T ~ 4x N, so the composition costs ~4x the permute
+    # it saves (measured: the round-4 composition regressed the plan
+    # bucket ~20 ms/view).
+    packed = packed[order]
     dummy = jnp.zeros((1, PACK_ROWS), packed.dtype)
     packed = jnp.concatenate([packed, dummy], axis=0)  # (N+1, 16)
-    # Compose the depth-sort permutation with the slot->gid map so the
-    # big T-row gather indexes the ORIGINAL table directly: one cheap
-    # (T,) int gather replaces a full (N, 16) row-gather pass.
-    order_ext = jnp.concatenate(
-        [order.astype(jnp.int32), jnp.full((1,), n, jnp.int32)]
-    )
-    idx = order_ext[plan.padded_gid]
-    return jnp.transpose(packed[idx])  # (16, T_padded)
+    return jnp.transpose(packed[plan.padded_gid])  # (16, T_padded)
 
 
 # ------------------------------------------------------------- kernels
