@@ -83,7 +83,7 @@ def _watchdog(budget_s):
 
 def _sizes_cache_key(args, tile):
     return (f"n{args.num_gaussians}_w{args.width}_h{args.height}"
-            f"_t{tile}_v{args.views}_s3_e2")
+            f"_t{tile}_v{args.views}_s3_e3")
 
 
 def _load_or_estimate_sizes(args, scene, cams, tile):

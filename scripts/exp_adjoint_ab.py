@@ -44,7 +44,7 @@ TS = DEFAULT_TILE
 
 
 def load_sizes():
-    key = f"n{N}_w{W}_h{H}_t{TS}_v4_s3_e2"
+    key = f"n{N}_w{W}_h{H}_t{TS}_v4_s3_e3"
     d = json.load(open(_os.path.join(_REPO_ROOT, "bench_sizes.json")))
     e = dict(d[key])
     e["cover_caps"] = tuple(e["cover_caps"])

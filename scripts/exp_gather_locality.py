@@ -57,7 +57,7 @@ TS = 32
 
 
 def load_sizes(scene, cams):
-    key = f"n{N}_w{W}_h{H}_t{TS}_v4_s3_e2"
+    key = f"n{N}_w{W}_h{H}_t{TS}_v4_s3_e3"
     try:
         d = json.load(open(_os.path.join(_REPO_ROOT, "bench_sizes.json")))
         e = dict(d[key])

@@ -36,7 +36,7 @@ def main():
     scene = random_scene(N, seed=0, extent=1.0, scale_range=(0.004, 0.02))
     cams = orbit_cameras(4, W, H, radius=3.0)
     pc = ProjectionConfig()
-    key = f"n{N}_w{W}_h{H}_t{DEFAULT_TILE}_v4_s3_e2"
+    key = f"n{N}_w{W}_h{H}_t{DEFAULT_TILE}_v4_s3_e3"
     cache = _os.path.join(_REPO_ROOT, "bench_sizes.json")
     sizes = None
     if _os.path.exists(cache):

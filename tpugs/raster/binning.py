@@ -123,6 +123,36 @@ def tile_cut_mask(
     return qmin <= sig_cut[..., None] + 1e-3
 
 
+def culled_covers(
+    proj,  # Projected
+    tile_size: int,
+    width: int,
+    height: int,
+    max_cover: int,
+):
+    """Per-Gaussian (bbox_cover, culled_cover): the number of candidate
+    tiles in the radius bbox, and how many survive the exact ellipse
+    cull (``tile_cut_mask``). Drives the culled-cover-aware
+    ``cover_caps`` estimate for the compacted slot table (the reduce
+    gathers per-row prefixes sized by these caps)."""
+    ntx, nty = tile_grid(width, height, tile_size)
+    tx0, ty0, tx1, ty1 = tile_bbox(
+        proj.means2d, proj.radii, proj.valid, tile_size, ntx, nty
+    )
+    w = tx1 - tx0
+    cnt = w * (ty1 - ty0)
+    j = jnp.arange(max_cover, dtype=jnp.int32)
+    w_safe = jnp.maximum(w, 1)
+    jx = j[None, :] % w_safe[:, None]
+    jy = j[None, :] // w_safe[:, None]
+    sv = j[None, :] < cnt[:, None]
+    sv &= tile_cut_mask(
+        proj.means2d, proj.conics, proj.sig_cut,
+        tx0[:, None] + jx, ty0[:, None] + jy, tile_size,
+    )
+    return cnt, jnp.sum(sv.astype(jnp.int32), axis=1)
+
+
 class TileBinning(NamedTuple):
     order: jax.Array  # (N,) depth-sort permutation (front first)
     sorted_gid: jax.Array  # (N*max_cover,) idx into depth-ordered arrays;

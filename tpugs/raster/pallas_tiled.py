@@ -385,9 +385,29 @@ def _plan_build(
     # transpose anywhere. Columns are already in cover_rank order, which
     # is exactly the cover-descending order the prefix reduction wants.
     slot_cols = []
+    culled_cols = []
     pos0 = 0
     for c_cnt, c_slots in classes:
         s_c = slots_flat[pos0 : pos0 + c_cnt * c_slots].reshape(c_slots, c_cnt)
+        # Compact each column: move real entries (the Gaussian's slots
+        # that survived the ellipse cull) to rows 0..culled-1, sentinels
+        # below. The reduce gathers row-j prefixes sized by cover_caps;
+        # with compaction the caps bound CULLED covers instead of bbox
+        # covers, dropping the sentinel rows the cull created from the
+        # gather entirely (the row gather is rate-bound per index, so a
+        # sentinel costs as much as a real row). At most one summand is
+        # nonzero per (r, column), so the where-sum is exact.
+        real = s_c < T_padded
+        kc = jnp.cumsum(real.astype(jnp.int32), axis=0)
+        comp = [
+            T_padded
+            + jnp.sum(
+                jnp.where(real & (kc == r + 1), s_c - T_padded, 0), axis=0
+            )
+            for r in range(c_slots)
+        ]
+        s_c = jnp.stack(comp, axis=0)
+        culled_cols.append(kc[-1])
         if c_slots < cover_pad:
             s_c = jnp.concatenate(
                 [
@@ -445,19 +465,29 @@ def _plan_build(
         off += c_cnt
     dropped = jnp.sum(jnp.maximum(cnt - slots_cap, 0))
     t_req = jnp.sum(padded_spans)
-    # cover_caps[j] bounds #Gaussians covering > j tiles (load-bearing
-    # for the reduce's prefix gathers)
+    # cover_caps[j] bounds the highest cover-rank column with a real
+    # row-j entry. With column compaction, column p's real entries fill
+    # rows 0..culled_p-1, so the exact per-view requirement is
+    # req[j] = 1 + max{rank p : culled_p > j} (load-bearing for the
+    # reduce's prefix gathers).
     cap_over = jnp.int32(0)
     if cover_caps:
-        bc = jnp.bincount(
-            jnp.clip(cnt, 0, max_cover), length=max_cover + 1
+        culled_all = (
+            jnp.concatenate(culled_cols)
+            if len(culled_cols) > 1
+            else culled_cols[0]
+        )  # (n,) culled covers, in cover_rank (column) order
+        p1 = jnp.arange(n, dtype=jnp.int32) + 1
+        k = min(len(cover_caps), max_cover)
+        j_ar = jnp.arange(k, dtype=jnp.int32)
+        req = jnp.max(
+            jnp.where(culled_all[None, :] > j_ar[:, None], p1[None, :], 0),
+            axis=1,
         )
-        over_j = jnp.asarray(n, jnp.int32) - jnp.cumsum(bc)[:-1]
         caps_arr = jnp.asarray(
-            [min(int(c), n) for c in cover_caps[:max_cover]], jnp.int32
+            [min(int(c), n) for c in cover_caps[:k]], jnp.int32
         )
-        k = caps_arr.shape[0]
-        cap_over = jnp.max(jnp.maximum(over_j[:k] - caps_arr, 0))
+        cap_over = jnp.max(jnp.maximum(req - caps_arr, 0))
     stats = {
         "t_req": t_req,
         "dropped": dropped,
@@ -504,10 +534,22 @@ def _probe_stats_scan_jit(
     means, quats, scales, opacities, viewmats, Ks,
     tile_size, width, height, max_cover, proj_config,
 ):
-    """(max t_padded, per-column-maxed cover histogram) over views, at a
-    fixed global cover bucket (one dispatch, one compile)."""
+    """(max t_padded, per-column-maxed bbox-cover histogram, per-row
+    maxed culled-cover cap requirement) over views, at a fixed global
+    cover bucket (one dispatch, one compile).
+
+    The third output sizes ``cover_caps`` for the COMPACTED slot table:
+    after compaction, column p (cover-rank order by bbox count) has
+    real row-j entries iff its CULLED cover > j, so the requirement is
+    req[j] = 1 + max{rank p : culled_p > j}. The plan ranks by
+    ``argsort(-bbox_cnt)`` with arbitrary tie order, so the bound uses
+    the END of the tie group: any Gaussian with bbox count c ranks
+    before #(cnt >= c), hence req[j] <= suffix_hist[min cnt among
+    culled > j]."""
+    from tpugs.raster.binning import culled_covers
+
     def body(carry, vk):
-        t_max, h_max = carry
+        t_max, h_max, r_max = carry
         vm, K = vk
         proj = project(
             means, quats, scales, opacities, vm, K, width, height,
@@ -518,11 +560,36 @@ def _probe_stats_scan_jit(
         spans = binning.tile_starts[1:] - binning.tile_starts[:-1]
         t_pad = jnp.sum(cdiv_arr(spans, BLOCK)) * BLOCK
         hist = _cover_hist_jit(proj, tile_size, width, height, max_cover)
-        return (jnp.maximum(t_max, t_pad), jnp.maximum(h_max, hist)), None
+        cnt, culled = culled_covers(proj, tile_size, width, height,
+                                    max_cover)
+        bc = jnp.bincount(jnp.clip(cnt, 0, max_cover),
+                          length=max_cover + 1)
+        # suffix[c] = #Gaussians with bbox count >= c
+        suffix = jnp.cumsum(bc[::-1])[::-1]
+        j_ar = jnp.arange(max_cover, dtype=jnp.int32)
+        big = jnp.int32(max_cover + 1)
+        m_j = jnp.min(
+            jnp.where(culled[None, :] > j_ar[:, None], cnt[None, :], big),
+            axis=1,
+        )
+        req = jnp.where(
+            m_j <= max_cover,
+            suffix[jnp.clip(m_j, 0, max_cover)],
+            0,
+        ).astype(jnp.int32)
+        return (
+            jnp.maximum(t_max, t_pad),
+            jnp.maximum(h_max, hist),
+            jnp.maximum(r_max, req),
+        ), None
 
-    carry0 = (jnp.int32(0), jnp.zeros((max_cover,), jnp.int32))
-    (t_max, h_max), _ = jax.lax.scan(body, carry0, (viewmats, Ks))
-    return t_max, h_max
+    carry0 = (
+        jnp.int32(0),
+        jnp.zeros((max_cover,), jnp.int32),
+        jnp.zeros((max_cover,), jnp.int32),
+    )
+    (t_max, h_max, r_max), _ = jax.lax.scan(body, carry0, (viewmats, Ks))
+    return t_max, h_max, r_max
 
 
 class PallasSizes(NamedTuple):
@@ -574,15 +641,19 @@ def estimate_pallas_sizes(
         means, quats, scales, opacities, vms, ks,
         tile_size, width, height, proj_config,
     )))
-    t_pad_dev, hist_dev = _probe_stats_scan_jit(
+    t_pad_dev, hist_dev, req_dev = _probe_stats_scan_jit(
         means, quats, scales, opacities, vms, ks,
         tile_size, width, height, bucket(cover_req), proj_config,
     )
     t_padded = max(BLOCK, int(t_pad_dev))
-    # The histogram is maxed per column over views at the full global
-    # bucket length — never truncated, so very-high-cover Gaussians
-    # keep correctly sized caps (silent reduce drops otherwise).
+    # The histogram/requirement rows are maxed per column over views at
+    # the full global bucket length — never truncated, so very-high-
+    # cover Gaussians keep correctly sized caps (silent reduce drops
+    # otherwise). `hist` (bbox covers) sizes the expansion classes;
+    # `req` (culled covers, rank-domain) sizes the reduce caps for the
+    # compacted slot table.
     hist = np.asarray(hist_dev)
+    req = np.asarray(req_dev)
     cover = max(1, int(np.ceil(cover_req * margin)))
     max_cover = 8 * cdiv(cover, 8)
     t = int(np.ceil(t_padded * margin))
@@ -590,7 +661,7 @@ def estimate_pallas_sizes(
     n = means.shape[0]
     caps = []
     for j in range(max_cover):
-        c_j = hist[j] if j < len(hist) else 0
+        c_j = req[j] if j < len(req) else 0
         c_j = int(min(n, np.ceil(c_j * margin)))
         c_j = cdiv(max(c_j, 1), 1024) * 1024  # 1K granularity
         caps.append(min(c_j, n))
