@@ -204,6 +204,69 @@ def test_compressed_backproject_cli(tmp_path):
     )
 
 
+def test_segment_compressed_text_query_matches_uncompressed(
+    tmp_path, monkeypatch
+):
+    """Text queries against a compressed (latent) feature field must be
+    projected through the codec encoder before scoring (reference
+    segment_compressed.py:73-74): with features living exactly in the
+    codec's latent subspace, the compressed segmentation equals the
+    uncompressed one."""
+    import jax.numpy as jnp
+
+    import tpugs.encoders.lseg as lseg_mod
+    from tpugs.apps.segment import main as segment_main
+    from tpugs.codec.linear import LinearCodec, save_codec
+
+    data_dir, ckpt = _make_dataset(tmp_path, n=60, n_cams=2)
+    results = str(tmp_path / "results")
+    os.makedirs(results, exist_ok=True)
+
+    rng = np.random.default_rng(3)
+    d_in, d_lat, n = 64, 8, 60
+    # Orthonormal projection: compress is exactly invertible on the
+    # subspace, so cosine scores (and hence masks) are preserved.
+    basis, _ = np.linalg.qr(rng.normal(size=(d_in, d_lat)))
+    z = rng.normal(size=(n, d_lat)).astype(np.float32)
+    z[: n // 2, 0] += 3.0  # two separable clusters
+    z[n // 2 :, 1] += 3.0
+    feats512 = (z @ basis.T).astype(np.float32)
+    np.savez(os.path.join(results, "features_linear:8.npz"),
+             features=feats512)
+    np.savez(os.path.join(results, "features_linear:8_compressed.npz"),
+             features=z)
+    codec_path = os.path.join(results, "codec.npz")
+    save_codec(
+        LinearCodec(
+            encoder=jnp.asarray(basis, jnp.float32),
+            decoder=jnp.asarray(basis.T, jnp.float32),
+        ),
+        codec_path,
+    )
+
+    # Synthetic "CLIP" text queries in the 512-d space, aligned with the
+    # two clusters (encode_text needs real weights, absent offline).
+    q_pos = (np.eye(d_lat)[:1] @ basis.T).astype(np.float32)
+    q_neg = (np.eye(d_lat)[1:2] @ basis.T).astype(np.float32)
+
+    def fake_encode_text(prompts, ckpt=None, bpe_path=None):
+        return jnp.asarray(q_pos if prompts == ["obj"] else q_neg)
+
+    monkeypatch.setattr(lseg_mod, "encode_text", fake_encode_text)
+
+    kw = dict(
+        data_dir=data_dir, checkpoint=ckpt, results_dir=results,
+        format="gsplat", data_factor=1, feature="linear:8",
+        prompt="obj", neg_prompt="bg", skip_prune=True,
+    )
+    mask_full = np.asarray(segment_main(**kw))
+    mask_comp = np.asarray(
+        segment_main(compressed=True, codec_path=codec_path, **kw)
+    )
+    assert mask_full.sum() == n // 2  # the query actually selects cluster 1
+    np.testing.assert_array_equal(mask_comp, mask_full)
+
+
 def test_visualize_pca_cli(tmp_path):
     from tpugs.apps.backproject import main as backproject_main
     from tpugs.apps.visualize_pca import main as pca_main

@@ -65,19 +65,41 @@ def main(
     np.savez(os.path.join(results_dir, "affordance_labels.npz"), labels=labels)
 
     if gt_dir:
-        preds, gts = [], []
-        import imageio.v2 as imageio
+        from tpugs.query.affordance import load_mat_gt, resize_nearest
 
-        for c in range(cams.num_cameras):
-            pred = render_label_masks(
-                scene, labels, np.asarray(cams.viewmats[c]),
-                np.asarray(cams.Ks[c]), cams.width, cams.height,
-            )
-            gt_path = os.path.join(gt_dir, f"frame_{c:04d}.png")
-            if not os.path.exists(gt_path):
-                continue
-            gts.append(imageio.imread(gt_path))
-            preds.append(pred)
+        preds, gts = [], []
+        has_mat = any(
+            f.endswith("label.mat") for f in os.listdir(gt_dir)
+        )
+        if has_mat:
+            # Reference GT format: per-view `*label.mat` files
+            # (gt_label class map + gt_type manual/automatic), sorted
+            # and zipped positionally with the cameras
+            # (demo_affordance_transfer.py:1445-1611).
+            for c, gt_label in load_mat_gt(gt_dir):
+                if c >= cams.num_cameras:
+                    break
+                pred = render_label_masks(
+                    scene, labels, np.asarray(cams.viewmats[c]),
+                    np.asarray(cams.Ks[c]), cams.width, cams.height,
+                )
+                preds.append(
+                    resize_nearest(pred, *gt_label.shape[:2])
+                )
+                gts.append(gt_label)
+        else:
+            import imageio.v2 as imageio
+
+            for c in range(cams.num_cameras):
+                gt_path = os.path.join(gt_dir, f"frame_{c:04d}.png")
+                if not os.path.exists(gt_path):
+                    continue
+                pred = render_label_masks(
+                    scene, labels, np.asarray(cams.viewmats[c]),
+                    np.asarray(cams.Ks[c]), cams.width, cams.height,
+                )
+                gts.append(imageio.imread(gt_path))
+                preds.append(pred)
         metrics = evaluate_iou(preds, gts)
         print(json.dumps(metrics, indent=2))
         with open(os.path.join(results_dir, "affordance_eval.json"), "w") as fh:

@@ -61,11 +61,21 @@ def main(
     if engine == "pallas":
         from tpugs.lift.batch import normalize_field
         from tpugs.lift.pallas_batch import (
+            DEFAULT_TILE,
             backproject_views_grouped,
             estimate_sizes_pallas,
         )
+        from tpugs.raster.pallas_tiled import check_pallas_sizes
 
-        sizes = estimate_sizes_pallas(scene, cams, probe_stride=2)
+        # probe_stride=1: the default 1.05 margin assumes the probe saw
+        # exactly the views that run (ADVICE r4 — a strided probe left
+        # unprobed views only 5% headroom with silent truncation).
+        sizes = estimate_sizes_pallas(scene, cams, probe_stride=1)
+        check_pallas_sizes(
+            scene.means, scene.quats, scene.scales, scene.opacities,
+            cams.viewmats, cams.Ks, cams.width, cams.height, sizes,
+            tile_size=DEFAULT_TILE, stride=2,
+        )
         num, den = backproject_views_grouped(
             scene, cams.viewmats, cams.Ks, cams.width, cams.height,
             encoder, sizes,

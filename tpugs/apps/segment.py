@@ -1,8 +1,9 @@
 """CLI: open-vocabulary 3D segmentation + scene editing + GIF outputs.
 
-Covers the reference's ``segment.py``, ``segment_compressed.py`` (point
-it at a compressed feature file) and ``segment_f3dgs.py`` (--f3dgs uses
-the trained latent field @ conv).
+Covers the reference's ``segment.py``, ``segment_compressed.py``
+(``--compressed`` loads the 16-d latent field and projects text queries
+through the codec encoder, reference ``segment_compressed.py:73-74``)
+and ``segment_f3dgs.py`` (--f3dgs uses the trained latent field @ conv).
 
 Counterpart of the reference ``segment.py:261-311``: load + prune +
 verify, load lifted features, build a text-query 3D mask, emit
@@ -34,6 +35,8 @@ def main(
     data_factor: int = 4,
     feature: str = "lseg",
     f3dgs: bool = False,
+    compressed: bool = False,
+    codec_path: str = "./results/encoder_decoder.npz",
     export_checkpoint: bool = False,
     skip_prune: bool = False,
 ):
@@ -59,10 +62,28 @@ def main(
         )
         features = scene.features @ scene.feature_proj
     else:
+        suffix = "_compressed" if compressed else ""
         feats = np.load(
-            os.path.join(results_dir, f"features_{feature}.npz")
+            os.path.join(results_dir, f"features_{feature}{suffix}.npz")
         )["features"]
         features = jnp.asarray(feats)
+
+    codec = None
+    if compressed:
+        # Compressed (16-d latent) feature fields: text queries live in
+        # the 512-d CLIP space, so they must be projected through the
+        # SAME codec encoder used for back-projection before scoring
+        # (reference segment_compressed.py:73-74). score_features
+        # re-normalizes, so compress alone suffices.
+        from tpugs.codec.linear import load_codec
+
+        codec = load_codec(codec_path)
+        if features.shape[-1] != codec.encoder.shape[-1]:
+            raise ValueError(
+                f"compressed features are {features.shape[-1]}-d but the "
+                f"codec at {codec_path} produces "
+                f"{codec.encoder.shape[-1]}-d latents"
+            )
 
     if pos_idx:
         pos_q = features[jnp.asarray([int(i) for i in pos_idx.split(",")])]
@@ -76,6 +97,9 @@ def main(
 
         pos_q = encode_text(prompt.split(";"))
         neg_q = encode_text(neg_prompt.split(";"))
+        if codec is not None:
+            pos_q = codec.compress(pos_q)
+            neg_q = codec.compress(neg_q)
 
     mask3d, mask3d_inv = get_mask3d(features, pos_q, neg_q)
     extracted, deleted, _ = apply_mask3d(scene, mask3d, mask3d_inv)

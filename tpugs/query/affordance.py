@@ -207,6 +207,46 @@ def render_label_masks(
     return pred
 
 
+def load_mat_gt(gt_dir: str) -> List[Tuple[int, np.ndarray]]:
+    """Load the reference's ``.mat`` ground-truth label maps
+    (``demo_affordance_transfer.py:1445-1611``): files named
+    ``*label.mat`` with keys ``gt_label`` ((H, W) int class map) and
+    ``gt_type`` (``'manual'`` | ``'automatic'``; automatic GT is
+    skipped, as in the reference). Files are sorted by name and zipped
+    positionally with the scene's (name-sorted) cameras, exactly like
+    the reference zips them with ``colmap_project.images``.
+
+    Returns [(camera_index, gt_label), ...] for the manual views.
+    """
+    from scipy.io import loadmat
+
+    files = sorted(
+        f for f in os.listdir(gt_dir) if f.endswith("label.mat")
+    )
+    out: List[Tuple[int, np.ndarray]] = []
+    for i, fname in enumerate(files):
+        gt = loadmat(os.path.join(gt_dir, fname))
+        gt_type = gt.get("gt_type")
+        if gt_type is not None:
+            flat = np.asarray(gt_type).ravel()
+            if flat.size and str(flat[0]) == "automatic":
+                continue
+        out.append((i, np.asarray(gt["gt_label"]).astype(np.int64)))
+    return out
+
+
+def resize_nearest(label_map: np.ndarray, height: int, width: int):
+    """Nearest-neighbor resize for integer label maps (what the
+    reference does with cv2.INTER_NEAREST when prediction and GT
+    resolutions differ)."""
+    h, w = label_map.shape[:2]
+    if (h, w) == (height, width):
+        return label_map
+    rows = (np.arange(height) * (h / height)).astype(np.int64)
+    cols = (np.arange(width) * (w / width)).astype(np.int64)
+    return label_map[rows[:, None], cols[None, :]]
+
+
 def evaluate_iou(
     pred_masks: Sequence[np.ndarray],  # per-view (H, W) int label maps
     gt_masks: Sequence[np.ndarray],

@@ -104,23 +104,37 @@ def tile_cut_mask(
     a_s = jnp.maximum(a, 1e-12)
     c_s = jnp.maximum(c, 1e-12)
 
+    def edge_terms(dx, dy):
+        t1 = (0.5 * a) * dx * dx
+        t2 = (0.5 * c) * dy * dy
+        t3 = b * dx * dy
+        # (value, magnitude): |t1|+|t2|+|t3| bounds the cancellation
+        # mass of the f32 sum — t1, t2 >= 0 for PSD conics, so only t3
+        # can cancel, but the symmetric bound is 2 extra abs ops.
+        return t1 + t2 + t3, jnp.abs(t1) + jnp.abs(t2) + jnp.abs(t3)
+
     def edge_x(dx):  # min over dy in [ly, uy] at fixed dx (c > 0: convex)
         dy = jnp.clip(-b * dx / c_s, ly, uy)
-        return (0.5 * a) * dx * dx + (0.5 * c) * dy * dy + b * dx * dy
+        return edge_terms(dx, dy)
 
     def edge_y(dy):
         dx = jnp.clip(-b * dy / a_s, lx, ux)
-        return (0.5 * a) * dx * dx + (0.5 * c) * dy * dy + b * dx * dy
+        return edge_terms(dx, dy)
 
-    qmin = jnp.minimum(
-        jnp.minimum(edge_x(lx), edge_x(ux)),
-        jnp.minimum(edge_y(ly), edge_y(uy)),
-    )
+    q_xl, m_xl = edge_x(lx)
+    q_xu, m_xu = edge_x(ux)
+    q_yl, m_yl = edge_y(ly)
+    q_yu, m_yu = edge_y(uy)
+    qmin = jnp.minimum(jnp.minimum(q_xl, q_xu), jnp.minimum(q_yl, q_yu))
     qmin = jnp.where(inside, 0.0, qmin)
-    # 1e-3 sigma headroom absorbs f32 ordering differences between this
-    # bound and the kernels' per-pixel sigma (weights near the clip are
-    # ~1/255; the old circular bound used 1e-4 relative on r^2).
-    return qmin <= sig_cut[..., None] + 1e-3
+    mmax = jnp.maximum(jnp.maximum(m_xl, m_xu), jnp.maximum(m_yl, m_yu))
+    # Headroom absorbs f32 ordering differences between this bound and
+    # the kernels' per-pixel sigma: a 1e-3 absolute floor (weights near
+    # the clip are ~1/255) PLUS a few ULPs of the evaluated term
+    # magnitudes — for highly anisotropic conics the O(|b*dx*dy|)
+    # cancellation alone can exceed any absolute constant (ADVICE r4).
+    eps = 32.0 * jnp.finfo(jnp.float32).eps
+    return qmin <= sig_cut[..., None] + 1e-3 + eps * mmax
 
 
 def culled_covers(

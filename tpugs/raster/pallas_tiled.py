@@ -109,6 +109,43 @@ def cdiv_arr(a, b):
     return -(-a // b)
 
 
+def _cap_req(proj: Projected, tile_size, width, height, max_cover):
+    """Per-view ``cover_caps`` requirement in the COMPACTED slot table's
+    rank domain — the SAME quantity ``estimate_pallas_sizes`` sizes the
+    caps from (ADVICE r4: the audit must not compare the raw bbox-cover
+    histogram against culled-cover-sized caps).
+
+    After column compaction, column p (cover-rank order by bbox count)
+    has real row-j entries iff its CULLED cover > j, so the exact
+    requirement is req[j] = 1 + max{rank p : culled_p > j}. The plan
+    ranks by ``argsort(-bbox_cnt)`` with arbitrary tie order, so the
+    bound uses the END of the tie group: any Gaussian with bbox count c
+    ranks before #(cnt >= c), hence req[j] <= suffix_hist[min cnt among
+    culled > j]. Returns (max_cover,) int32."""
+    from tpugs.raster.binning import culled_covers
+
+    cnt, culled = culled_covers(proj, tile_size, width, height, max_cover)
+    bc = jnp.bincount(jnp.clip(cnt, 0, max_cover), length=max_cover + 1)
+    # suffix[c] = #Gaussians with bbox count >= c
+    suffix = jnp.cumsum(bc[::-1])[::-1]
+    j_ar = jnp.arange(max_cover, dtype=jnp.int32)
+    big = jnp.int32(max_cover + 1)
+    m_j = jnp.min(
+        jnp.where(culled[None, :] > j_ar[:, None], cnt[None, :], big),
+        axis=1,
+    )
+    return jnp.where(
+        m_j <= max_cover,
+        suffix[jnp.clip(m_j, 0, max_cover)],
+        0,
+    ).astype(jnp.int32)
+
+
+_cap_req_jit = functools.partial(
+    jax.jit, static_argnames=("tile_size", "width", "height", "max_cover")
+)(_cap_req)
+
+
 @functools.partial(
     jax.jit, static_argnames=("tile_size", "width", "height", "max_cover")
 )
@@ -538,15 +575,10 @@ def _probe_stats_scan_jit(
     maxed culled-cover cap requirement) over views, at a fixed global
     cover bucket (one dispatch, one compile).
 
-    The third output sizes ``cover_caps`` for the COMPACTED slot table:
-    after compaction, column p (cover-rank order by bbox count) has
-    real row-j entries iff its CULLED cover > j, so the requirement is
-    req[j] = 1 + max{rank p : culled_p > j}. The plan ranks by
-    ``argsort(-bbox_cnt)`` with arbitrary tie order, so the bound uses
-    the END of the tie group: any Gaussian with bbox count c ranks
-    before #(cnt >= c), hence req[j] <= suffix_hist[min cnt among
-    culled > j]."""
-    from tpugs.raster.binning import culled_covers
+    The third output sizes ``cover_caps`` for the COMPACTED slot table
+    via ``_cap_req`` (the suffix-histogram tie bound — see its
+    docstring); ``check_pallas_sizes`` audits against the identical
+    quantity."""
 
     def body(carry, vk):
         t_max, h_max, r_max = carry
@@ -560,23 +592,7 @@ def _probe_stats_scan_jit(
         spans = binning.tile_starts[1:] - binning.tile_starts[:-1]
         t_pad = jnp.sum(cdiv_arr(spans, BLOCK)) * BLOCK
         hist = _cover_hist_jit(proj, tile_size, width, height, max_cover)
-        cnt, culled = culled_covers(proj, tile_size, width, height,
-                                    max_cover)
-        bc = jnp.bincount(jnp.clip(cnt, 0, max_cover),
-                          length=max_cover + 1)
-        # suffix[c] = #Gaussians with bbox count >= c
-        suffix = jnp.cumsum(bc[::-1])[::-1]
-        j_ar = jnp.arange(max_cover, dtype=jnp.int32)
-        big = jnp.int32(max_cover + 1)
-        m_j = jnp.min(
-            jnp.where(culled[None, :] > j_ar[:, None], cnt[None, :], big),
-            axis=1,
-        )
-        req = jnp.where(
-            m_j <= max_cover,
-            suffix[jnp.clip(m_j, 0, max_cover)],
-            0,
-        ).astype(jnp.int32)
+        req = _cap_req(proj, tile_size, width, height, max_cover)
         return (
             jnp.maximum(t_max, t_pad),
             jnp.maximum(h_max, hist),
@@ -823,19 +839,23 @@ def check_pallas_sizes(
             worst.update(t_padded=t_req, view=c)
         worst["n_isects"] = max(worst["n_isects"], kept)
         worst["dropped"] = max(worst["dropped"], dropped)
-        # cover_caps are load-bearing for reduce_contribs: hist[j] (the
-        # number of Gaussians covering > j tiles) must stay within the
-        # static per-column cap or real contributions get dropped.
+        # cover_caps are load-bearing for reduce_contribs: the
+        # compacted-slot-table requirement req[j] (see ``_cap_req`` —
+        # the SAME tie bound the estimator sizes caps from; the raw
+        # bbox-cover histogram would spuriously flag views whose
+        # ellipse cull opens a gap vs the 1.05 margin, ADVICE r4) must
+        # stay within the static per-column cap or real contributions
+        # get dropped.
         if sizes.cover_caps:
-            hist = np.asarray(
-                _cover_hist_jit(
+            req = np.asarray(
+                _cap_req_jit(
                     proj, tile_size, width, height, sizes.max_cover
                 )
             )
             for j, cap in enumerate(sizes.cover_caps):
-                h_j = int(hist[j]) if j < len(hist) else 0
+                r_j = int(req[j]) if j < len(req) else 0
                 worst["cap_overflow"] = max(
-                    worst["cap_overflow"], h_j - min(int(cap), n)
+                    worst["cap_overflow"], r_j - min(int(cap), n)
                 )
     overflow = (
         worst["t_padded"] > sizes.T_padded
@@ -1250,7 +1270,17 @@ def render_pallas_raw(
 
     ``mxu_prefix``: log-space MXU transmittance prefix (production
     fused-backprojection path, ~0.2% pixel error; exact renders keep
-    the default VPU scan)."""
+    the default VPU scan).
+
+    INVARIANT (ADVICE r4): ``packed`` MUST come from
+    :func:`pack_isect_all` with this ``plan``. The kernels carry no
+    validity mask of their own — they rely on the pack's guarantees:
+    opacity is zeroed for invalid projections (so padding and culled
+    lanes contribute alpha 0), slot-table padding entries point at the
+    trailing all-zero dummy row, and non-finite sigmas are only
+    harmless because a NaN fails the ``alpha >= ALPHA_MIN`` compare.
+    A caller packing geometry differently reintroduces unmasked
+    invalid/padding lanes with no guard."""
     ntx, nty = tile_grid(plan.width, plan.height, plan.tile_size)
     n_tiles = ntx * nty
     ts = plan.tile_size
@@ -1490,7 +1520,12 @@ def adjoint_pallas_raw(
 
     With ``feat_cols > 0`` the input carries only the real feature
     channels and the kernel synthesizes the ones-channel at column
-    ``feat_cols`` in VMEM (pass ``d_chunk`` explicitly then)."""
+    ``feat_cols`` in VMEM (pass ``d_chunk`` explicitly then).
+
+    INVARIANT (ADVICE r4): ``geom`` MUST come from
+    :func:`pack_isect_all` with this ``plan`` — see
+    :func:`render_pallas_raw` for the packing guarantees the kernels
+    (especially ``_block_weights_mxu``) silently depend on."""
     ntx, nty = tile_grid(plan.width, plan.height, plan.tile_size)
     n_tiles = ntx * nty
     ts = plan.tile_size
