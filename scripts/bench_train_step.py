@@ -43,6 +43,12 @@ def main():
     ap.add_argument("--tile-size", type=int, default=0,
                     help="pallas tile size (0 = TrainConfig default, "
                     "which auto-selects 32 at >=1M-pixel renders)")
+    ap.add_argument("--contrib-dtype", type=str, default="",
+                    help="backward gradient-row dtype for the pallas "
+                    "engine: float32 | bfloat16 (default: TrainConfig)")
+    ap.add_argument("--margin", type=float, default=0.0,
+                    help="pallas size margin override (0 = TrainConfig "
+                    "default)")
     args = ap.parse_args()
 
     import jax
@@ -80,6 +86,9 @@ def main():
             strategy="none", random_bkgd=False, raster_engine=engine,
             **({"pallas_tile_size": args.tile_size} if args.tile_size
                else {}),
+            **({"pallas_contrib_dtype": args.contrib_dtype}
+               if args.contrib_dtype else {}),
+            **({"pallas_size_margin": args.margin} if args.margin else {}),
         )
         scene = init_scene_from_points(pts, rgbs, cfg)
         tr = Trainer(cfg, scene, 1.0, teacher=teacher, width=W, height=H,

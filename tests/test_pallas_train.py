@@ -117,6 +117,39 @@ def test_train_gradients_match_autodiff(D, with_bg, seed):
         )
 
 
+def test_train_gradients_bf16_contribs_close_to_f32():
+    """bf16 per-intersection gradient rows (the train-step HBM diet,
+    TrainConfig.pallas_contrib_dtype) stay within bf16 tolerance of the
+    exact f32 backward — the same contract the lift path's bf16
+    contribution rows ship under."""
+    proj, opac, colors, bg, rplan, pplan = _setup(D=8, with_bg=True)
+    rng = np.random.default_rng(9)
+    r = jnp.asarray(rng.normal(0, 1, (H, W, 8)).astype(np.float32))
+
+    def loss_with(dtype):
+        def f(m2d, con, op, cols):
+            img, _ = render_plan_train(
+                m2d, con, op, cols, pplan, background=bg,
+                interpret=True, trans_eps=0.0, contrib_dtype=dtype,
+            )
+            return jnp.sum(img * r)
+
+        return f
+
+    args = (proj.means2d, proj.conics, opac, colors)
+    g32 = jax.grad(loss_with(jnp.float32), (0, 1, 2, 3))(*args)
+    g16 = jax.grad(loss_with(jnp.bfloat16), (0, 1, 2, 3))(*args)
+    for name, a, b_ in zip(
+        ["means2d", "conics", "opacities", "colors"], g32, g16
+    ):
+        a, b_ = np.asarray(a), np.asarray(b_)
+        scale = max(1.0, float(np.abs(a).max()))
+        np.testing.assert_allclose(
+            b_, a, atol=1.5e-2 * scale,
+            err_msg=f"bf16 contrib gradient drift: {name}",
+        )
+
+
 def test_train_value_and_grad_jit():
     """The custom VJP composes under jit + value_and_grad and returns
     finite gradients with the production early-exit threshold."""

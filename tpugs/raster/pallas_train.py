@@ -273,7 +273,8 @@ def _forward_impl(means2d, conics, opacities, colors, background,
 
 
 def _make_bwd_kernel(ntx: int, ts: int, d_pad: int, d_aug: int, d_out: int,
-                     trans_eps: float, t_padded: int):
+                     trans_eps: float, t_padded: int,
+                     out_dtype=jnp.float32):
     tspx = ts * ts
 
     def kernel(
@@ -430,7 +431,9 @@ def _make_bwd_kernel(ntx: int, ts: int, d_pad: int, d_aug: int, d_out: int,
             def _():
                 out_dma(slot, b - 2).wait()
 
-            obuf[slot] = jnp.concatenate([d_col, geom_grads], axis=1)
+            obuf[slot] = jnp.concatenate(
+                [d_col, geom_grads], axis=1
+            ).astype(out_dtype)
             out_dma(slot, b).start()
 
             trans_new = full["new_trans"]
@@ -460,7 +463,7 @@ def _make_bwd_kernel(ntx: int, ts: int, d_pad: int, d_aug: int, d_out: int,
             def _():
                 out_dma(slot, b - 2).wait()
 
-            obuf[slot] = jnp.zeros((BLOCK, d_out), jnp.float32)
+            obuf[slot] = jnp.zeros((BLOCK, d_out), out_dtype)
             out_dma(slot, b).start()
             return b + 1, 0
 
@@ -478,7 +481,7 @@ def _make_bwd_kernel(ntx: int, ts: int, d_pad: int, d_aug: int, d_out: int,
         # entries gather exact zeros — same trick as the adjoint kernel).
         @pl.when(t == 0)
         def _():
-            obuf[0] = jnp.zeros((BLOCK, d_out), jnp.float32)
+            obuf[0] = jnp.zeros((BLOCK, d_out), out_dtype)
             dma = pltpu.make_async_copy(
                 obuf.at[0],
                 contrib_hbm.at[pl.ds(t_padded, BLOCK), :],
@@ -492,7 +495,8 @@ def _make_bwd_kernel(ntx: int, ts: int, d_pad: int, d_aug: int, d_out: int,
 
 def _backward_impl(means2d, conics, opacities, colors, background,
                    plan: PallasPlan, interpret: bool, trans_eps: float,
-                   image, alpha, g_image, g_alpha):
+                   image, alpha, g_image, g_alpha,
+                   contrib_dtype=jnp.float32):
     H, W = plan.height, plan.width
     D = colors.shape[-1]
     d_pad = _d_pad_of(D)
@@ -544,7 +548,7 @@ def _backward_impl(means2d, conics, opacities, colors, background,
         scratch_shapes=[
             pltpu.VMEM((2, GEOM_ROWS, BLOCK), jnp.float32),
             pltpu.VMEM((2, d_pad, BLOCK), jnp.float32),
-            pltpu.VMEM((2, BLOCK, d_out), jnp.float32),
+            pltpu.VMEM((2, BLOCK, d_out), contrib_dtype),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
@@ -552,10 +556,11 @@ def _backward_impl(means2d, conics, opacities, colors, background,
     )
     contribs = pl.pallas_call(
         _make_bwd_kernel(
-            ntx, ts, d_pad, d_aug, d_out, trans_eps, plan.T_padded
+            ntx, ts, d_pad, d_aug, d_out, trans_eps, plan.T_padded,
+            contrib_dtype,
         ),
         out_shape=jax.ShapeDtypeStruct(
-            (plan.T_padded + BLOCK, d_out), jnp.float32
+            (plan.T_padded + BLOCK, d_out), contrib_dtype
         ),
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
@@ -578,9 +583,9 @@ def _backward_impl(means2d, conics, opacities, colors, background,
 # -------------------------------------------------------- custom VJP
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
 def _train_core(means2d, conics, opacities, colors, background, abs_probe,
-                plan, interpret, trans_eps):
+                plan, interpret, trans_eps, contrib_dtype=jnp.float32):
     return _forward_impl(
         means2d, conics, opacities, colors, background, plan,
         interpret, trans_eps,
@@ -588,7 +593,8 @@ def _train_core(means2d, conics, opacities, colors, background, abs_probe,
 
 
 def _train_core_fwd(means2d, conics, opacities, colors, background,
-                    abs_probe, plan, interpret, trans_eps):
+                    abs_probe, plan, interpret, trans_eps,
+                    contrib_dtype=jnp.float32):
     out = _forward_impl(
         means2d, conics, opacities, colors, background, plan,
         interpret, trans_eps,
@@ -599,13 +605,14 @@ def _train_core_fwd(means2d, conics, opacities, colors, background,
     return out, res
 
 
-def _train_core_bwd(interpret, trans_eps, res, cots):
+def _train_core_bwd(interpret, trans_eps, contrib_dtype, res, cots):
     (means2d, conics, opacities, colors, background, abs_probe, plan,
      image, alpha) = res
     g_image, g_alpha = cots
     d_m2d, d_con, d_opa, d_col, d_bg, d_abs = _backward_impl(
         means2d, conics, opacities, colors, background, plan,
         interpret, trans_eps, image, alpha, g_image, g_alpha,
+        contrib_dtype,
     )
 
     def int_zero(x):
@@ -692,6 +699,7 @@ def render_plan_train(
     interpret: bool = False,
     trans_eps: float = TRANS_EPS,
     abs_probe: Optional[jax.Array] = None,  # (N, 2) zeros
+    contrib_dtype=jnp.float32,
 ) -> Tuple[jax.Array, jax.Array]:
     """Differentiable fused render for one camera on the Pallas path.
 
@@ -706,8 +714,14 @@ def render_plan_train(
     ``means2d.absgrad``; reference flag at
     ``f3dgs/simple_trainer_feature_3dgs.py:453-476``). The probe never
     affects the rendered output.
+
+    ``contrib_dtype=jnp.bfloat16`` halves the backward's dominant HBM
+    buffer (the (T_padded, d_out) per-intersection gradient rows —
+    several GB at garden scale) and its write bandwidth; the reduce
+    still accumulates in f32. ~0.4% relative gradient error, as in the
+    lift path's bf16 contribution rows.
     """
     return _train_core(
         means2d, conics, opacities, colors, background, abs_probe, plan,
-        interpret, trans_eps,
+        interpret, trans_eps, contrib_dtype,
     )

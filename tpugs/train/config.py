@@ -121,8 +121,19 @@ class TrainConfig:
     pallas_tile_size: int = 0
     # extra headroom on the measured Pallas size buckets: the scene keeps
     # moving between refines (sizes are re-estimated only on refine), so
-    # training wants more margin than the static lift pipeline's 1.25
-    pallas_size_margin: float = 2.0
+    # training wants more margin than the static lift pipeline's 1.05.
+    # Every T-proportional stage (backward gradient-row write, reduce
+    # gather, pack, render) scales with this, and overflow self-heals
+    # (the step reports size_overflow and the host re-estimates +
+    # recompiles), so the default buys steps/s and trusts the healer;
+    # raise it if a run logs frequent overflow re-estimates.
+    pallas_size_margin: float = 1.2
+    # dtype of the backward's per-intersection gradient rows ("float32"
+    # or "bfloat16"). bf16 halves the step's dominant HBM buffer
+    # (several GB at garden scale) at ~0.4% relative gradient error
+    # (reduce still accumulates f32) — same tradeoff the lift path
+    # ships by default.
+    pallas_contrib_dtype: str = "float32"
     # early-exit transmittance threshold for the Pallas kernels; 0.0
     # composites every block (bit-comparable to the tiled engine, which
     # never exits early)

@@ -367,9 +367,12 @@ class Trainer:
         from tpugs.raster.api import plan_render
 
         if self.engine == "pallas":
+            # Probe 8 views (was 4): the 1.2 default margin leaves less
+            # headroom for unprobed-view variance; the probe is one
+            # scanned dispatch either way and overflow still self-heals.
             self._sizes = estimate_pallas_sizes(
                 self.scene.means, self.scene.quats, self.scene.scales,
-                self.scene.opacities, viewmats[:4], Ks[:4],
+                self.scene.opacities, viewmats[:8], Ks[:8],
                 self.width, self.height, self.proj_config,
                 tile_size=self.pallas_tile_size,
                 margin=self.cfg.pallas_size_margin,
@@ -514,6 +517,11 @@ class Trainer:
                 interpret=self._interpret,
                 trans_eps=cfg.pallas_trans_eps,
                 abs_probe=abs_probe,
+                contrib_dtype=(
+                    jnp.bfloat16
+                    if cfg.pallas_contrib_dtype == "bfloat16"
+                    else jnp.float32
+                ),
             )
         else:
             max_cover, max_blocks = sizes
