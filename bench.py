@@ -138,6 +138,13 @@ def main():
                          "architecture with random weights and the "
                          "reference's 480^2 crop protocol "
                          "(backproject.py:102-113), bf16 or f32")
+    ap.add_argument("--split-encoder", choices=("auto", "on", "off"),
+                    default="auto",
+                    help="run the 2D encoder in its own XLA program "
+                         "(render / encode / adjoint split) instead of "
+                         "one fused program. auto: on for the LSeg "
+                         "ViT (the fused garden-scale program kills "
+                         "the remote compile service), off for linear")
     ap.add_argument("--budget-s", type=float,
                     default=float(os.environ.get("BENCH_BUDGET_S", 420)))
     ap.add_argument("--quick", action="store_true", help="tiny smoke config")
@@ -165,7 +172,11 @@ def main():
 
     from tpugs.encoders.base import LinearRGBEncoder
     from tpugs.lift.batch import normalize_field
-    from tpugs.lift.pallas_batch import DEFAULT_TILE, backproject_views_grouped
+    from tpugs.lift.pallas_batch import (
+        DEFAULT_TILE,
+        backproject_views_grouped,
+        backproject_views_grouped_split,
+    )
     from tpugs.utils.synthetic import orbit_cameras, random_scene
 
     scene = random_scene(
@@ -195,9 +206,18 @@ def main():
     sizes = _load_or_estimate_sizes(args, scene, cams, DEFAULT_TILE)
 
     group = min(args.group, args.views)
+    split = (
+        args.split_encoder == "on"
+        or (args.split_encoder == "auto"
+            and args.encoder.startswith("lseg-random"))
+    )
+    backend = (
+        backproject_views_grouped_split if split
+        else backproject_views_grouped
+    )
 
     def run(sc):
-        return backproject_views_grouped(
+        return backend(
             sc, cams.viewmats, cams.Ks, args.width, args.height,
             encoder, sizes, group_size=group, interpret=interpret,
         )

@@ -155,3 +155,81 @@ def test_dino_encoder_pipeline_random_weights():
     feats = enc(img)
     assert feats.shape == (20, 24, 1024)
     assert np.isfinite(np.asarray(feats)).all()
+
+
+def test_vit_scan_blocks_matches_unrolled():
+    """scan_blocks (one lax.scan over stacked block params — the
+    compile-tractable production layout) must match the unrolled loop
+    exactly, including intermediate hook layers, after restacking the
+    unrolled params with stack_block_params."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpugs.encoders.vit import (
+        ViTConfig,
+        VisionTransformer,
+        stack_block_params,
+    )
+
+    cfg = ViTConfig(
+        image_size=32, patch_size=8, width=16, layers=4, heads=4,
+        pre_norm=True,
+    )
+    vit = VisionTransformer(cfg)
+    vit_s = VisionTransformer(dataclasses.replace(cfg, scan_blocks=True))
+    x = jnp.asarray(
+        np.random.default_rng(0).uniform(0, 1, (2, 32, 32, 3))
+        .astype(np.float32)
+    )
+    params = vit.init(jax.random.PRNGKey(0), x, out_layers=[1, 3])
+    stacked = {
+        "params": stack_block_params(dict(params["params"]), cfg.layers)
+    }
+    # layouts agree with a fresh scan init
+    ref = jax.eval_shape(
+        lambda: vit_s.init(jax.random.PRNGKey(1), x, out_layers=[1, 3])
+    )
+    t1 = jax.tree_util.tree_map(lambda a: a.shape, stacked)
+    t2 = jax.tree_util.tree_map(lambda a: a.shape, ref)
+    assert t1 == t2
+    out = vit.apply(params, x, out_layers=[1, 3])
+    out_s = vit_s.apply(stacked, x, out_layers=[1, 3])
+    for k in ("layer1", "layer3", "final"):
+        np.testing.assert_allclose(
+            np.asarray(out_s[k]), np.asarray(out[k]), atol=1e-5,
+            err_msg=k,
+        )
+
+
+def test_lseg_encoder_scan_blocks_matches_unrolled():
+    """LSegEncoder(scan_blocks=True) — the production default — equals
+    the unrolled encoder when given the same converted checkpoint."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    # Full-layout synthetic ckpt at tiny sizes can't drive LSegEncoder
+    # (fixed ViT-L arch), so check the restack path on the real-size
+    # RANDOM encoder instead: same rng -> same unrolled params, then
+    # restack must reproduce the scan encoder's output exactly.
+    import warnings
+
+    from tpugs.encoders.lseg import LSegEncoder
+    from tpugs.encoders.vit import stack_block_params
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        enc_u = LSegEncoder(ckpt=None, crop_size=32, scan_blocks=False)
+        enc_s = LSegEncoder(ckpt=None, crop_size=32, scan_blocks=True)
+    p = dict(enc_u.params["params"])
+    p["vit"] = stack_block_params(dict(p["vit"]), 24)
+    enc_s.params = {"params": p}
+    img = jnp.asarray(
+        np.random.default_rng(1).uniform(0, 1, (40, 40, 3))
+        .astype(np.float32)
+    )
+    out_u = np.asarray(enc_u(img))
+    out_s = np.asarray(enc_s(img))
+    np.testing.assert_allclose(out_s, out_u, atol=2e-5)

@@ -266,6 +266,38 @@ def test_grouped_dispatch_matches_loop():
     np.testing.assert_allclose(np.asarray(num_g), np.asarray(num), atol=1e-4)
 
 
+def test_split_encoder_grouped_matches_fused():
+    """backproject_views_grouped_split (render / encode / adjoint in
+    separate programs, the heavyweight-encoder path) must match the
+    fused grouped dispatch — including the zero-weighted padded last
+    group — within bf16-materialized-features tolerance."""
+    from tpugs.encoders.base import LinearRGBEncoder
+    from tpugs.lift.pallas_batch import (
+        backproject_views_grouped,
+        backproject_views_grouped_split,
+        estimate_sizes_pallas,
+    )
+
+    scene, _ = _setup(n=100)
+    cams = orbit_cameras(3, W, H, radius=2.5)  # 3 views, group=2 -> pad
+    sizes = estimate_sizes_pallas(scene, cams, tile_size=16)
+    enc = LinearRGBEncoder(feature_dim=8)
+    kw = dict(interpret=True, tile_size=16, d_chunk=16,
+              contrib_dtype=jnp.float32)
+    num_f, den_f = backproject_views_grouped(
+        scene, cams.viewmats, cams.Ks, W, H, enc, sizes, group_size=2, **kw
+    )
+    num_s, den_s = backproject_views_grouped_split(
+        scene, cams.viewmats, cams.Ks, W, H, enc, sizes, group_size=2, **kw
+    )
+    # split materializes encoder outputs in bf16 (the production
+    # adjoint consumes bf16 anyway); weights differ at that precision
+    ws = float(jnp.abs(den_f).max())
+    fs = float(jnp.abs(num_f).max())
+    assert float(jnp.abs(den_s - den_f).max()) < 0.01 * ws
+    assert float(jnp.abs(num_s - num_f).max()) < 0.01 * fs
+
+
 def test_size_class_truncation_detected_and_safe():
     """Undersized static buckets (a tiny top class, 1-slot tail) make
     the size-classed expansion truncate high-cover Gaussians. The kernel

@@ -173,19 +173,36 @@ class LSegEncoder:
     feature_dim = 512
 
     def __init__(self, ckpt: Optional[str] = None, crop_size: int = 480,
-                 dtype=None):
+                 dtype=None, scan_blocks: bool = True):
         """``dtype=jnp.bfloat16`` runs the ViT + head in bf16 (params,
         activations) — the TPU-native production precision (MXU bf16
         peak is ~4x the f32 rate); the per-pixel L2 norm and the resize
         back to render resolution stay f32. The reference runs the
-        torch LSeg in f32 — the exact-parity path keeps dtype=None."""
+        torch LSeg in f32 — the exact-parity path keeps dtype=None.
+
+        ``scan_blocks`` (default on): run the 24 transformer blocks as
+        one lax.scan over stacked params — identical numerics, ~24x
+        smaller HLO; the unrolled ViT-L program at production scale
+        kills the remote XLA compile service. Converted checkpoints
+        (per-block layout) are restacked on load."""
+        import dataclasses as _dc
+
         self.crop_size = crop_size
         self.dtype = dtype
-        self.net = LSegNet()
+        self.net = LSegNet(
+            vit_cfg=_dc.replace(TIMM_VIT_L16_384, scan_blocks=scan_blocks)
+        )
         if ckpt:
             from tpugs.encoders.convert import load_lseg_params
+            from tpugs.encoders.vit import stack_block_params
 
             self.params = load_lseg_params(ckpt)
+            if scan_blocks:
+                p = dict(self.params["params"])
+                p["vit"] = stack_block_params(
+                    dict(p["vit"]), TIMM_VIT_L16_384.layers
+                )
+                self.params = {"params": p}
         else:
             rng = jax.random.PRNGKey(0)
             dummy = jnp.zeros((1, crop_size, crop_size, 3))

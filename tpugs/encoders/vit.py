@@ -34,6 +34,15 @@ class ViTConfig:
     swiglu: bool = False  # DINOv2 giant uses SwiGLU; L uses plain MLP
     layer_scale: bool = False  # DINOv2 blocks scale residuals by ls1/ls2
     pos_interp: str = "bilinear"  # DINOv2 resizes pos embeds bicubic
+    # Run the (homogeneous) blocks as ONE lax.scan over stacked params
+    # instead of an unrolled Python loop: the HLO shrinks ~layers x,
+    # which keeps XLA compile time/size tractable for ViT-L inside
+    # larger pipelines (the remote TPU compile service dies on the
+    # unrolled 24-block program at production scale). Param layout
+    # changes from block{i}/... to blocks/... with a leading (layers,)
+    # axis — convert loaded per-block checkpoints with
+    # ``stack_block_params``. Numerics are identical.
+    scan_blocks: bool = False
 
     @property
     def grid(self) -> int:
@@ -176,10 +185,25 @@ class VisionTransformer(nn.Module):
 
         outputs = {}
         want = set(out_layers or [cfg.layers - 1])
-        for i in range(cfg.layers):
-            x = Block(cfg, self.act, name=f"block{i}")(x)
-            if i in want:
-                outputs[f"layer{i}"] = x
+        if cfg.scan_blocks:
+            def body_fn(block, carry, _):
+                y = block(carry)
+                return y, y
+
+            scan = nn.scan(
+                body_fn,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                length=cfg.layers,
+            )
+            x, ys = scan(Block(cfg, self.act, name="blocks"), x, None)
+            for i in want:
+                outputs[f"layer{i}"] = ys[i]
+        else:
+            for i in range(cfg.layers):
+                x = Block(cfg, self.act, name=f"block{i}")(x)
+                if i in want:
+                    outputs[f"layer{i}"] = x
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="ln_post")(x)
         outputs["final"] = x
         outputs["grid"] = (gh, gw)
@@ -191,3 +215,22 @@ def patch_tokens(out, layer="final"):
     """(B, gh*gw, C) patch tokens with prefix (cls/register) stripped."""
     x = out[layer]
     return x[:, out["n_prefix"]:, :]
+
+
+def stack_block_params(vit_params: dict, layers: int,
+                       prefix: str = "block") -> dict:
+    """Convert per-block params (``block0`` .. ``block{L-1}``, the
+    unrolled layout the checkpoint converters emit) into the
+    ``scan_blocks`` layout: one ``blocks`` subtree whose leaves carry a
+    leading (layers,) axis. Non-block entries pass through unchanged."""
+    blocks = [vit_params[f"{prefix}{i}"] for i in range(layers)]
+    stacked = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs, axis=0), *blocks
+    )
+    out = {
+        k: v
+        for k, v in vit_params.items()
+        if not (k.startswith(prefix) and k[len(prefix):].isdigit())
+    }
+    out["blocks"] = stacked
+    return out

@@ -251,6 +251,186 @@ def _backproject_group(
     return num, den
 
 
+# --------------------------------------------------- split-encoder path
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "width", "height", "sizes", "proj_config", "interpret",
+        "tile_size", "group_size", "mxu_prefix", "trans_eps",
+    ),
+)
+def _render_group_rgb(
+    scene, viewmats, Ks, width, height, sizes,
+    proj_config, interpret, tile_size, group_size, mxu_prefix, trans_eps,
+):
+    """Split program A: G serialized renders. Returns (rgb (G, H, W, 3),
+    plans tuple, packs tuple) — plans/packs are reused by the adjoint
+    program so plan construction is not paid twice."""
+    from tpugs.raster.api import _prepare_colors
+    from tpugs.raster.pallas_tiled import (
+        pack_isect_all,
+        render_pallas_raw,
+        tiles_to_image,
+    )
+    from tpugs.raster.projection import project
+
+    rgbs, plans, packs = [], [], []
+    prev = None
+    for i in range(group_size):
+        if prev is not None:
+            # Serialize view i on view i-1's rendered image so only one
+            # view's plan-sort/render transients are live (same trick as
+            # _backproject_group).
+            means, prev = jax.lax.optimization_barrier((scene.means, prev))
+            sci = scene.replace(means=means)
+        else:
+            sci = scene
+        plan = build_plan_pure(
+            sci.means, sci.quats, sci.scales, sci.opacities,
+            viewmats[i], Ks[i], width, height, sizes, proj_config,
+            tile_size,
+        )
+        proj = project(
+            sci.means, sci.quats, sci.scales, sci.opacities,
+            viewmats[i], Ks[i], width, height, proj_config,
+        )
+        cols3 = _prepare_colors(
+            sci.means, sci.colors_all, viewmats[i], sci.sh_degree
+        )
+        packed = pack_isect_all(proj, cols3, plan)
+        tiles = render_pallas_raw(
+            packed, plan, 4, interpret, trans_eps,
+            mxu_prefix=mxu_prefix,
+        )
+        rgb = tiles_to_image(
+            tiles, width, height, tile_size=plan.tile_size
+        )[..., :3]
+        rgb = jax.lax.optimization_barrier(rgb)
+        prev = rgb
+        rgbs.append(rgb)
+        plans.append(plan)
+        packs.append(packed)
+    return jnp.stack(rgbs), tuple(plans), tuple(packs)
+
+
+@functools.partial(jax.jit, static_argnames=("encoder", "out_dtype"))
+def _encode_images_jit(rgbs, encoder, out_dtype):
+    """Split program B: the 2D encoder alone (e.g. the LSeg ViT-L/16),
+    scanned over the group's rendered images. Isolating the dense
+    encoder in its own XLA program keeps each compile tractable — the
+    fused variant (ViT inlined beside the Pallas kernels + plan sort)
+    exceeds what the compile service handles at garden scale."""
+    def body(_, img):
+        return None, encoder(img).astype(out_dtype)
+
+    _, feats = jax.lax.scan(body, None, rgbs)
+    return feats
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "d_chunk", "proj_config", "interpret", "contrib_dtype",
+        "reduce_engine", "group_size", "trans_eps",
+    ),
+)
+def _adjoint_group_precomputed(
+    scene, feats, weights, viewmats, Ks, plans, packs,
+    d_chunk, proj_config, interpret, contrib_dtype, reduce_engine,
+    group_size, trans_eps,
+):
+    """Split program C: per-view fused adjoint + reduce on precomputed
+    feature images and reused plans/packs. ``weights[i] = 0`` excludes
+    padded duplicate views (no subtraction pass needed)."""
+    from tpugs.raster.pallas_tiled import backproject_view_pallas
+
+    num = den = None
+    for i in range(group_size):
+        if den is not None:
+            f, num, den = jax.lax.optimization_barrier(
+                (feats[i], num, den)
+            )
+        else:
+            f = feats[i]
+        fs, ws = backproject_view_pallas(
+            scene.means, scene.quats, scene.scales, scene.opacities,
+            feat_image=f, viewmat=viewmats[i], K=Ks[i], plan=plans[i],
+            d_chunk=d_chunk, proj_config=proj_config,
+            interpret=interpret, trans_eps=trans_eps,
+            contrib_dtype=contrib_dtype, packed=packs[i],
+            reduce_engine=reduce_engine,
+        )
+        fs = jax.lax.optimization_barrier(fs) * weights[i]
+        ws = jax.lax.optimization_barrier(ws) * weights[i]
+        num = fs if num is None else num + fs
+        den = ws if den is None else den + ws
+    return num, den
+
+
+def backproject_views_grouped_split(
+    scene: GaussianScene,
+    viewmats: jax.Array,
+    Ks: jax.Array,
+    width: int,
+    height: int,
+    encoder,
+    sizes: PallasSizes,
+    group_size: int = 2,
+    d_chunk: int = 640,
+    proj_config: ProjectionConfig = ProjectionConfig(),
+    interpret: bool = False,
+    tile_size: int = DEFAULT_TILE,
+    contrib_dtype=jnp.bfloat16,
+    reduce_engine: str = "pallas",
+) -> Tuple[jax.Array, jax.Array]:
+    """Split-encoder production path: THREE jitted programs per group —
+    render (Pallas), encoder (dense XLA), adjoint+reduce (Pallas) —
+    instead of one fused program. Needed for heavyweight encoders
+    (LSeg ViT-L/16, reference backproject.py:88-113): the single fused
+    program at garden scale repeatedly kills the remote XLA compile
+    service, while each split program compiles fine. Costs one extra
+    dispatch pair per group and materializes the group's feature images
+    (bf16 (G, H, W, D) — size ``group_size`` accordingly); plans/packs
+    are computed once in the render program and reused by the adjoint.
+
+    Returns (num (N, D), den (N,)) like ``backproject_views_grouped``.
+    """
+    import numpy as _np
+
+    C = viewmats.shape[0]
+    n = scene.num_gaussians
+    D = getattr(encoder, "feature_dim")
+    num = jnp.zeros((n, D), jnp.float32)
+    den = jnp.zeros((n,), jnp.float32)
+    g = max(1, group_size)
+    mxu = contrib_dtype == jnp.bfloat16
+    for c0 in range(0, C, g):
+        take = min(g, C - c0)
+        idx = _np.concatenate(
+            [_np.arange(c0, c0 + take),
+             _np.full(g - take, c0 + take - 1)]
+        )
+        vms, ks = viewmats[idx], Ks[idx]
+        w = jnp.asarray(
+            (_np.arange(g) < take).astype(_np.float32)
+        )
+        rgbs, plans, packs = _render_group_rgb(
+            scene, vms, ks, width, height, sizes, proj_config,
+            interpret, tile_size, g, mxu, TRANS_EPS,
+        )
+        feats = _encode_images_jit(rgbs, encoder, jnp.bfloat16)
+        fs, ws = _adjoint_group_precomputed(
+            scene, feats, w, vms, ks, plans, packs,
+            d_chunk, proj_config, interpret, contrib_dtype,
+            reduce_engine, g, TRANS_EPS,
+        )
+        num = num + fs
+        den = den + ws
+    return num, den
+
+
 def backproject_views_grouped(
     scene: GaussianScene,
     viewmats: jax.Array,
