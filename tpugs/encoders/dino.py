@@ -19,13 +19,27 @@ from tpugs.encoders.vit import DINOV2_VIT_L14_REG, VisionTransformer
 class DinoEncoder:
     feature_dim = 1024
 
-    def __init__(self, ckpt: Optional[str] = None, image_size: int = 896):
+    def __init__(self, ckpt: Optional[str] = None, image_size: int = 896,
+                 scan_blocks: bool = True):
+        """``scan_blocks`` (default on): run the 24 blocks as one
+        lax.scan over stacked params — ~24x smaller HLO so the ViT-L
+        program stays within what the remote TPU compile service
+        handles (see ``ViTConfig.scan_blocks``); converted per-block
+        checkpoints are restacked on load. Numerics identical."""
+        import dataclasses as _dc
+
         self.image_size = image_size
-        self.vit = VisionTransformer(DINOV2_VIT_L14_REG, act="gelu")
+        cfg = _dc.replace(DINOV2_VIT_L14_REG, scan_blocks=scan_blocks)
+        self.vit = VisionTransformer(cfg, act="gelu")
         if ckpt:
             from tpugs.encoders.convert import load_dino_params
+            from tpugs.encoders.vit import stack_block_params
 
             self.params = load_dino_params(ckpt)
+            if scan_blocks:
+                self.params = {"params": stack_block_params(
+                    dict(self.params["params"]), cfg.layers
+                )}
         else:
             rng = jax.random.PRNGKey(0)
             dummy = jnp.zeros((1, image_size, image_size, 3))

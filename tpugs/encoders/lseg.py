@@ -222,6 +222,43 @@ class LSegEncoder:
             )
         self._apply = jax.jit(self.net.apply)
 
+        cs = crop_size
+
+        def _pre(imgs):  # (G, H, W, 3) -> (G, cs, cs, 3) in model dtype
+            x = jax.image.resize(
+                imgs, (imgs.shape[0], cs, cs, 3), "bilinear"
+            )
+            return x if dtype is None else x.astype(dtype)
+
+        def _post(feats, out_hw):  # norm at cs^2, resize back, bf16
+            f = feats.astype(jnp.float32)
+            f = f / (jnp.linalg.norm(f, axis=-1, keepdims=True) + 1e-8)
+            g = f.shape[0]
+            h, w = out_hw
+            f = jax.image.resize(f, (g, h, w, f.shape[-1]), "bilinear")
+            return f.astype(jnp.bfloat16)
+
+        self._pre_jit = jax.jit(_pre)
+        self._post_jit = jax.jit(_post, static_argnums=(1,))
+
+    def staged_apply(self, rgbs: jax.Array) -> jax.Array:
+        """Batched encode as THREE small programs — jitted pre-resize,
+        the per-image ViT+head program (``self._apply``, the only
+        compile the remote XLA service is known to survive at this
+        scale), jitted norm/resize-back — instead of one mega-program.
+        The split backprojection pipeline
+        (``lift/pallas_batch.backproject_views_grouped_split``) uses
+        this when present; a fused scan over the whole __call__ body
+        repeatedly crashes the compile service. Returns
+        (G, H, W, feature_dim) bfloat16."""
+        g, h, w, _ = rgbs.shape
+        x = self._pre_jit(rgbs)
+        feats = jnp.concatenate(
+            [self._apply(self.params, x[i : i + 1]) for i in range(g)],
+            axis=0,
+        )
+        return self._post_jit(feats, (h, w))
+
     def __call__(self, image: jax.Array) -> jax.Array:
         H, W, _ = image.shape
         cs = self.crop_size

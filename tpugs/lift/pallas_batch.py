@@ -420,7 +420,15 @@ def backproject_views_grouped_split(
             scene, vms, ks, width, height, sizes, proj_config,
             interpret, tile_size, g, mxu, TRANS_EPS,
         )
-        feats = _encode_images_jit(rgbs, encoder, jnp.bfloat16)
+        stage = getattr(encoder, "staged_apply", None)
+        if stage is not None:
+            # Heavyweight encoders bring their own program splitting
+            # (e.g. LSegEncoder.staged_apply: pre / per-image ViT /
+            # post) — a single scanned mega-program over the group
+            # crashes the remote compile service.
+            feats = stage(rgbs)
+        else:
+            feats = _encode_images_jit(rgbs, encoder, jnp.bfloat16)
         fs, ws = _adjoint_group_precomputed(
             scene, feats, w, vms, ks, plans, packs,
             d_chunk, proj_config, interpret, contrib_dtype,
