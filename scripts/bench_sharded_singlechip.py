@@ -75,13 +75,22 @@ def main():
     def sync(x):
         return float(np.asarray(jax.device_get(x.ravel()[:1]))[0])
 
-    def timed(fn, *xs):
-        out = fn(*xs)  # compile
+    def timed(fn, s):
+        """Compile on the unperturbed scene, then time two dispatches on
+        minutely perturbed scenes: the remote layer serves REPEATED
+        (executable, inputs) pairs from a result cache, so re-timing
+        identical inputs measures transport, not execution."""
+        out = fn(s)  # compile
         sync(out[1] if isinstance(out, tuple) else out)
-        t0 = time.perf_counter()
-        out = fn(*xs)
-        sync(out[1] if isinstance(out, tuple) else out)
-        return out, time.perf_counter() - t0
+        best = None
+        for rep in range(2):
+            sp = s.replace(means=s.means + 1e-6 * (rep + 1))
+            t0 = time.perf_counter()
+            out = fn(sp)
+            sync(out[1] if isinstance(out, tuple) else out)
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return out, best
 
     if not args.skip_backproject:
         from tpugs.dist.shard import backproject_views_sharded_pallas
@@ -157,11 +166,21 @@ def main():
             return out
 
         out = run_sharded()
-        loss_sh = sync(out[3])
-        t0 = time.perf_counter()
-        out = run_sharded()
-        loss_sh = sync(out[3])
-        t_sh = time.perf_counter() - t0
+        loss_sh = sync(out[3])  # loss of the UNPERTURBED scene (parity)
+        # timed reps on perturbed scenes (remote result cache, see
+        # timed()); scene0 kept for the parity comparison
+        scene0 = tr.scene
+        t_sh = None
+        for rep in range(2):
+            tr.scene = scene0.replace(
+                means=scene0.means + 1e-6 * (rep + 1)
+            )
+            t0 = time.perf_counter()
+            out_p = run_sharded()
+            sync(out_p[3])
+            dt = time.perf_counter() - t0
+            t_sh = dt if t_sh is None else min(t_sh, dt)
+        tr.scene = scene0
 
         batch = {
             "image": np.asarray(images[0]),
@@ -173,14 +192,19 @@ def main():
                       width=W, height=H, n_cameras=args.views)
         tr2._sizes = tr._sizes
         stats = tr2.train_step(batch, teacher_feats=teachers[0])
-        t0 = time.perf_counter()
-        # second call re-jits nothing; time one more for a fair number
-        tr3 = Trainer(cfg, init_scene_from_points(pts, rgbs, cfg),
-                      width=W, height=H, n_cameras=args.views)
-        tr3._sizes = tr._sizes
-        stats = tr3.train_step(batch, teacher_feats=teachers[0])
-        t_un = time.perf_counter() - t0
-        loss_un = float(stats["loss"])
+        loss_un = float(stats["loss"])  # unperturbed (parity)
+        # timed reps on perturbed scenes, SAME trainer (a fresh Trainer
+        # re-jits its step; identical inputs hit the remote result cache)
+        s0 = tr2.scene
+        t_un = None
+        for rep in range(2):
+            tr2.scene = s0.replace(means=s0.means + 1e-6 * (rep + 1))
+            t0 = time.perf_counter()
+            stats_p = tr2.train_step(batch, teacher_feats=teachers[0])
+            _ = float(stats_p["loss"])
+            dt = time.perf_counter() - t0
+            t_un = dt if t_un is None else min(t_un, dt)
+        tr2.scene = s0
         rel = abs(loss_sh - loss_un) / (abs(loss_un) + 1e-30)
         ok = rel < 5e-3
         print(
