@@ -173,6 +173,14 @@ def main():
                          "one fused program. auto: on for the LSeg "
                          "ViT (the fused garden-scale program kills "
                          "the remote compile service), off for linear")
+    ap.add_argument("--reduce-engine", default="pallas",
+                    choices=("pallas", "scatter", "xla"),
+                    help="adjoint+reduce structure: 'pallas' gathers "
+                         "contribution rows through the slot table then "
+                         "stripe-sums; 'scatter' has the adjoint kernel "
+                         "write rows directly in slot order (per-row "
+                         "DMAs) and reduces with a gather-free masked "
+                         "stripe sum")
     ap.add_argument("--budget-s", type=float,
                     default=float(os.environ.get("BENCH_BUDGET_S", 420)))
     ap.add_argument("--quick", action="store_true", help="tiny smoke config")
@@ -245,9 +253,12 @@ def main():
     )
 
     def run(sc):
+        kw = {}
+        if not split:
+            kw["reduce_engine"] = args.reduce_engine
         return backend(
             sc, cams.viewmats, cams.Ks, args.width, args.height,
-            encoder, sizes, group_size=group, interpret=interpret,
+            encoder, sizes, group_size=group, interpret=interpret, **kw,
         )
 
     # (block_until_ready is unreliable on the remote TPU backend —

@@ -50,6 +50,10 @@ def make_kernel(scatter: bool, compute_iters: int, t_rows: int):
     def kernel(pos_ref, out_hbm, obuf, sem, acc):
         i = pl.program_id(0)
         slot = jax.lax.rem(i, 2)
+        # pos_ref is an (8, 128) SMEM block covering grid steps
+        # 8*(i//8)..8*(i//8)+7 (Mosaic SMEM blocks need (8,128)
+        # divisibility); this step's row:
+        prow = jax.lax.rem(i, 8)
 
         # Synthetic compute standing in for the adjoint's per-block
         # VPU work: a serial multiply-add chain over a (512, 128) f32
@@ -80,7 +84,7 @@ def make_kernel(scatter: bool, compute_iters: int, t_rows: int):
             for r in range(BLOCK):
                 pltpu.make_async_copy(
                     obuf.at[slot, r],
-                    out_hbm.at[pos_ref[0, r]],
+                    out_hbm.at[pos_ref[prow, r]],
                     sem.at[slot],
                 ).start()
         else:
@@ -121,7 +125,7 @@ def run(eps, pos, scatter, compute_iters):
         make_kernel(scatter, compute_iters, t_rows),
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec((1, BLOCK), lambda i: (i, 0),
+            pl.BlockSpec((8, BLOCK), lambda i: (i // 8, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),

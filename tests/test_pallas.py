@@ -694,3 +694,34 @@ def test_pixelwise_tile_path_matches_image_path():
     )
     np.testing.assert_allclose(np.asarray(ws_t), np.asarray(ws_i), atol=1e-5)
     np.testing.assert_allclose(np.asarray(fs_t), np.asarray(fs_i), atol=1e-5)
+
+
+def test_backproject_reduce_engine_scatter_matches():
+    """The scatter-write adjoint + gather-free masked stripe reduce
+    (reduce_engine='scatter') must match the production slot-table
+    gather reduce exactly: same kernels' weights, same f32 accumulation,
+    only the row transport differs (per-row DMA writes in slot order vs
+    gather after a plan-order write)."""
+    from tpugs.encoders.base import LinearRGBEncoder
+    from tpugs.lift.pallas_batch import (
+        backproject_one_view_pallas,
+        estimate_sizes_pallas,
+    )
+
+    scene = random_scene(400, seed=7, extent=0.8, scale_range=(0.02, 0.1))
+    cams = orbit_cameras(2, 160, 96, radius=2.5)
+    enc = LinearRGBEncoder(feature_dim=24)
+    sizes = estimate_sizes_pallas(scene, cams, probe_stride=1, tile_size=32)
+    kw = dict(d_chunk=640, interpret=True, tile_size=32)
+    outs = {}
+    for eng in ("pallas", "scatter"):
+        outs[eng] = backproject_one_view_pallas(
+            scene, cams.viewmats[0], cams.Ks[0], 160, 96, enc, sizes,
+            reduce_engine=eng, **kw,
+        )
+    np.testing.assert_array_equal(
+        np.asarray(outs["scatter"][0]), np.asarray(outs["pallas"][0])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(outs["scatter"][1]), np.asarray(outs["pallas"][1])
+    )

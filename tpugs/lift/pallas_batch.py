@@ -111,6 +111,7 @@ def backproject_one_view_pallas(
         sizes,
         proj_config,
         tile_size,
+        scatter=(reduce_engine == "scatter"),
     )
     proj = project(
         scene.means, scene.quats, scene.scales, scene.opacities,

@@ -80,6 +80,16 @@ class PallasPlan:
     #                    form a prefix (see reduce).
     slot_order: jax.Array  # (N,) original Gaussian index per slots COLUMN
     #                         (the table is cover-major (cover_pad, N))
+    # Scatter-write reduce (reduce_engine="scatter") extras, built only
+    # when the plan is constructed with scatter=True:
+    slot_pos: Optional[jax.Array] = None  # (T_padded,) striped-layout
+    #   destination row per padded plan position (R_striped = trash row
+    #   for culled/padding entries) — lets the adjoint kernel write its
+    #   contribution rows directly in slot-table order, replacing the
+    #   reduce's 68-ms random-row gather with per-row DMA writes hidden
+    #   behind the kernel's own pipeline (exp_scatter_write, r5)
+    culled: Optional[jax.Array] = None  # (N,) culled cover count per
+    #   slots COLUMN — masks striped rows never written
     width: int = dataclasses.field(metadata=_STATIC, default=0)
     height: int = dataclasses.field(metadata=_STATIC, default=0)
     tile_size: int = dataclasses.field(metadata=_STATIC, default=16)
@@ -249,6 +259,7 @@ def _normalize_classes(classes, n, max_cover):
         "cover_caps",
         "classes",
         "with_stats",
+        "scatter",
     ),
 )
 def _plan_build(
@@ -263,6 +274,7 @@ def _plan_build(
     cover_caps=(),
     classes=(),
     with_stats=False,
+    scatter=False,
 ):
     n = proj.means2d.shape[0]
     ntx, nty = tile_grid(width, height, tile_size)
@@ -461,6 +473,57 @@ def _plan_build(
     slot_order = order[cover_rank]  # column i of the cover-major
     #                                 (cover_pad, N) table -> original Gaussian
 
+    slot_pos = None
+    culled_arr = None
+    if scatter:
+        # Inverse of the reduce's slot-table gather: striped-layout
+        # destination per padded plan position, so the adjoint kernel
+        # can WRITE contribution rows straight into slot order
+        # (reduce_engine="scatter"). Striped row of slot-table entry
+        # (cover row j, column c) = cumsum of 128-padded caps up to j,
+        # plus c; sentinel entries collide harmlessly on index T_padded
+        # (sliced off before use). The audit guarantees real entries sit
+        # below their cap (cap_over == 0), so every real write is in
+        # range.
+        n_pad_sc = cdiv(max(n, 1), BLOCK) * BLOCK
+        caps_l = [
+            min(max(int(cover_caps[j]), 1), n)
+            if j < len(cover_caps) else n
+            for j in range(cover_pad)
+        ]
+        caps_pad = [
+            min(cdiv(c, BLOCK) * BLOCK, n_pad_sc) for c in caps_l
+        ]
+        base = np.concatenate([[0], np.cumsum(caps_pad)]).astype(np.int32)
+        r_striped = int(base[-1])
+        idx_parts, val_parts = [], []
+        col_off = 0
+        for ci, (c_cnt, c_slots) in enumerate(classes):
+            s_c = slot_cols[ci][: min(c_slots, cover_pad)]
+            rows_here = s_c.shape[0]
+            spos = (
+                jnp.asarray(base[:rows_here], jnp.int32)[:, None]
+                + (col_off + jnp.arange(c_cnt, dtype=jnp.int32))[None, :]
+            )
+            valid_c = s_c < T_padded
+            idx_parts.append(jnp.where(valid_c, s_c, T_padded).reshape(-1))
+            val_parts.append(
+                jnp.where(valid_c, spos, r_striped).reshape(-1)
+            )
+            col_off += c_cnt
+        idx_all = jnp.concatenate(idx_parts)
+        val_all = jnp.concatenate(val_parts)
+        slot_pos = (
+            jnp.full((T_padded + 1,), r_striped, jnp.int32)
+            .at[idx_all]
+            .set(val_all)[:T_padded]
+        )
+        culled_arr = (
+            jnp.concatenate(culled_cols)
+            if len(culled_cols) > 1
+            else culled_cols[0]
+        ).astype(jnp.int32)
+
     # Gaussian id per padded slot (block-padding slots -> sentinel N).
     pos_sc = jnp.where(tid_s < n_tiles, pos, T_padded)
     padded_gid = (
@@ -474,6 +537,8 @@ def _plan_build(
         order=order,
         padded_gid=padded_gid,
         slot_order=slot_order,
+        slot_pos=slot_pos,
+        culled=culled_arr,
         tile_starts=tile_starts_full[:-1],
         tile_ends=tile_starts_full[1:],
         padded_starts=padded_starts,
@@ -889,6 +954,7 @@ def build_plan_pure(
     sizes: PallasSizes,
     proj_config: ProjectionConfig = ProjectionConfig(),
     tile_size: int = 16,
+    scatter: bool = False,
 ) -> PallasPlan:
     """Fully traceable per-view plan construction (fixed static sizes)."""
     proj = project(
@@ -905,6 +971,7 @@ def build_plan_pure(
         sizes.cover_pad,
         sizes.cover_caps,
         sizes.classes,
+        scatter=scatter,
     )
 
 
@@ -1568,6 +1635,397 @@ def adjoint_pallas_raw(
     return contribs
 
 
+# -------------------------------------------- scatter-write adjoint+reduce
+#
+# The slot-table reduce's random-row GATHER is issue-rate-bound (~44 GB/s,
+# 68.6 ms/view at garden scale — exp_reduce_tail) and locality-independent.
+# Per-row DMA WRITES cost about the same issue time, but issued from inside
+# the adjoint kernel they ride its existing DMA pipeline: exp_scatter_write
+# measured 1.97M scattered 2-KB row writes at +15-27 ms over the contiguous
+# write at matched compute, vs the +68.6 ms standalone gather they replace.
+# So this variant has the adjoint write each contribution row DIRECTLY at
+# its slot-table position (the plan's `slot_pos` inverse map), and the
+# reduce becomes a sequential-read masked stripe sum — no gather at all.
+# Rows are (8, 128) = 1024-lane units (the minimum Mosaic-legal scattered
+# row), so d_chunk <= 1024 - 1 real channels.
+
+
+DL_SCATTER = 1024  # lanes per striped row ((8, 128) tile)
+
+
+def _striped_layout(cover_caps, cover_pad: int, n: int):
+    """((base_row, cap_pad, cover_j), ...) for every cover row, plus the
+    total striped rows. MUST match the slot_pos construction in
+    :func:`_plan_build` (same 128-padding of the per-row caps)."""
+    n_pad = cdiv(max(n, 1), BLOCK) * BLOCK
+    meta = []
+    base = 0
+    for j in range(cover_pad):
+        cap = cover_caps[j] if j < len(cover_caps) else n
+        cap = min(max(int(cap), 1), n)
+        cap = min(cdiv(cap, BLOCK) * BLOCK, n_pad)
+        meta.append((base, cap, j))
+        base += cap
+    return tuple(meta), base
+
+
+def _make_adjoint_scatter_kernel(
+    ntx: int, ts: int, d_chunk: int, trans_eps: float, t_padded: int,
+    out_dtype, width: int, height: int, feat_cols: int, mxu_prefix: bool,
+):
+    """The adjoint kernel with per-row scattered output: contribution
+    rows land at their striped slot positions (pbuf, DMA'd from the
+    plan's slot_pos per rank block) instead of plan order. Culled /
+    padding entries target the trash row (never read by the masked
+    stripe sum). Early-exited blocks still write zero rows — their
+    striped positions ARE summed (they are real intersections whose
+    contribution is below trans_eps)."""
+    tspx = ts * ts
+    block_weights = _block_weights_mxu if mxu_prefix else _block_weights
+
+    def kernel(
+        starts_ref,
+        ends_ref,
+        pstarts_ref,
+        geom_hbm,  # (16, T_padded) merged pack
+        pos_hbm,  # (T_padded,) i32 striped destination per plan row
+        feat_ref,  # (1, tspx, d_in) VMEM (blocked per tile)
+        striped_hbm,  # (R_striped + 1, 8, 128) ANY
+        gbuf,
+        obuf,  # (2, BLOCK, 8, 128) out_dtype
+        pbuf,  # (2, BLOCK) i32 SMEM
+        gsem,
+        osem,
+        psem,
+    ):
+        t = pl.program_id(0)
+        start = starts_ref[t]
+        end = ends_ref[t]
+        pstart = pl.multiple_of(pstarts_ref[t], BLOCK)
+        nb = (end - start + BLOCK - 1) // BLOCK
+        nb = jnp.minimum(nb, (t_padded - pstart) // BLOCK)
+        px_x, px_y = _tile_pixels(t, ntx, ts, tspx)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (tspx, BLOCK), 1)
+        feats = feat_ref[0]
+        if feat_cols > 0:
+            col = jax.lax.broadcasted_iota(jnp.int32, (tspx, d_chunk), 1)
+            feats = jnp.where(
+                col == feat_cols,
+                jnp.ones((), feats.dtype),
+                jnp.pad(feats, ((0, 0), (0, d_chunk - feat_cols))),
+            )
+
+        def fetch(slot, b):
+            off = pl.multiple_of(pstart + b * BLOCK, BLOCK)
+            pltpu.make_async_copy(
+                geom_hbm.at[:, pl.ds(off, BLOCK)], gbuf.at[slot],
+                gsem.at[slot],
+            ).start()
+
+        # pos_hbm is lane-padded: block b's 128 destinations live at
+        # [b*1024, b*1024+128) (1-D i32 slices need 1024-element
+        # granularity on Mosaic). Single SMEM buffer, fetch-ahead chain:
+        # each block WAITS the fetch its predecessor issued, uses the
+        # scalars (DMA descriptors capture addresses at .start()), then
+        # issues the next block's fetch (SMEM scratch cannot be sliced
+        # per double-buffer slot: (2, N) SMEM slicing violates tiling).
+        def fetch_pos(b):
+            off = pl.multiple_of(pstart + b * BLOCK, BLOCK)
+            pltpu.make_async_copy(
+                pos_hbm.at[
+                    pl.ds(pl.multiple_of(off * 8, 8 * BLOCK), 8 * BLOCK)
+                ],
+                pbuf,
+                psem,
+            ).start()
+
+        def wait_pos(b):
+            off = pl.multiple_of(pstart + b * BLOCK, BLOCK)
+            pltpu.make_async_copy(
+                pos_hbm.at[
+                    pl.ds(pl.multiple_of(off * 8, 8 * BLOCK), 8 * BLOCK)
+                ],
+                pbuf,
+                psem,
+            ).wait()
+
+        @pl.when(nb > 0)
+        def _():
+            fetch(0, 0)
+            fetch_pos(0)
+
+        def out_rows(slot):
+            for r in range(BLOCK):
+                pltpu.make_async_copy(
+                    obuf.at[slot, r],
+                    striped_hbm.at[pbuf[r]],
+                    osem.at[slot],
+                ).start()
+
+        def wait_rows(slot):
+            # 128 same-size decrements of this slot's DMA semaphore.
+            for _r in range(BLOCK):
+                pltpu.make_async_copy(
+                    obuf.at[slot, 0], striped_hbm.at[0], osem.at[slot]
+                ).wait()
+
+        def cond(carry):
+            b, _, max_t = carry
+            return jnp.logical_and(b < nb, max_t > trans_eps)
+
+        def body(carry):
+            b, trans, _ = carry
+            slot = jax.lax.rem(b, 2)
+
+            @pl.when(b + 1 < nb)
+            def _():
+                fetch(1 - slot, b + 1)
+
+            off = pl.multiple_of(pstart + b * BLOCK, BLOCK)
+            pltpu.make_async_copy(
+                geom_hbm.at[:, pl.ds(off, BLOCK)], gbuf.at[slot],
+                gsem.at[slot],
+            ).wait()
+
+            remaining = end - start - b * BLOCK
+            lane_valid = lane < remaining
+            w, trans = block_weights(gbuf[slot], px_x, px_y, trans, lane_valid)
+            if width > 0:
+                in_b = jnp.logical_and(px_x < width, px_y < height)
+                w = jnp.where(in_b, w, 0.0)
+
+            w_mm = w.astype(feats.dtype) if feats.dtype == jnp.bfloat16 else w
+            contrib = jax.lax.dot_general(
+                w_mm,
+                feats,
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (BLOCK, d_chunk)
+
+            @pl.when(b >= 2)
+            def _():
+                wait_rows(slot)
+
+            wait_pos(b)
+            full = jnp.pad(contrib, ((0, 0), (0, DL_SCATTER - d_chunk)))
+            obuf[slot] = full.astype(out_dtype).reshape(BLOCK, 8, 128)
+            out_rows(slot)
+
+            @pl.when(b + 1 < nb)
+            def _():
+                fetch_pos(b + 1)
+
+            return b + 1, trans, jnp.max(trans)
+
+        trans0 = jnp.ones((tspx, 1), jnp.float32)
+        b_stop, _, _ = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), trans0, jnp.float32(1.0))
+        )
+
+        # Early exit leaves one geometry prefetch in flight — drain it
+        # (its paired pos fetch is CONSUMED by the zero-fill loop below).
+        @pl.when(b_stop < nb)
+        def _():
+            slot = jax.lax.rem(b_stop, 2)
+            off = pl.multiple_of(pstart + b_stop * BLOCK, BLOCK)
+            pltpu.make_async_copy(
+                geom_hbm.at[:, pl.ds(off, BLOCK)], gbuf.at[slot],
+                gsem.at[slot],
+            ).wait()
+
+        def zcond(carry):
+            return carry[0] < nb
+
+        def zbody(carry):
+            b, _ = carry
+            slot = jax.lax.rem(b, 2)
+
+            @pl.when(b >= 2)
+            def _():
+                wait_rows(slot)
+
+            wait_pos(b)
+            obuf[slot] = jnp.zeros((BLOCK, 8, 128), out_dtype)
+            out_rows(slot)
+
+            @pl.when(b + 1 < nb)
+            def _():
+                fetch_pos(b + 1)
+
+            return b + 1, 0
+
+        jax.lax.while_loop(zcond, zbody, (b_stop, 0))
+
+        @pl.when(nb >= 2)
+        def _():
+            wait_rows(jax.lax.rem(nb - 2, 2))
+
+        @pl.when(nb >= 1)
+        def _():
+            wait_rows(jax.lax.rem(nb - 1, 2))
+
+    return kernel
+
+
+def adjoint_scatter_pallas_raw(
+    geom: jax.Array,  # (16, T_padded) merged pack (rows 0-7 used)
+    feat_tiles: jax.Array,  # (n_tiles, tspx, d_chunk) or (.., feat_cols)
+    plan: PallasPlan,
+    interpret: bool = False,
+    trans_eps: float = TRANS_EPS,
+    out_dtype=jnp.bfloat16,
+    d_chunk: Optional[int] = None,
+    feat_cols: int = 0,
+    mxu_prefix: Optional[bool] = None,
+) -> jax.Array:
+    """Adjoint with slot-ordered scattered output: returns the striped
+    buffer (R_striped + 1, 8, 128) for :func:`reduce_striped_pallas`
+    (last row is the trash row for culled/padding entries). Same packing
+    INVARIANT as :func:`adjoint_pallas_raw`. Requires a plan built with
+    ``scatter=True``."""
+    assert plan.slot_pos is not None, "plan needs scatter=True"
+    ntx, nty = tile_grid(plan.width, plan.height, plan.tile_size)
+    n_tiles = ntx * nty
+    ts = plan.tile_size
+    tspx = ts * ts
+    d_in = feat_tiles.shape[-1]
+    if d_chunk is None:
+        d_chunk = d_in
+    assert d_chunk <= DL_SCATTER
+    if mxu_prefix is None:
+        mxu_prefix = out_dtype == jnp.bfloat16
+    n = plan.slots.shape[1]
+    _, r_striped = _striped_layout(plan.cover_caps, plan.cover_pad, n)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(
+                (1, tspx, d_in), lambda t, *_: (t, 0, 0)
+            ),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, PACK_ROWS, BLOCK), jnp.float32),
+            pltpu.VMEM((2, BLOCK, 8, 128), out_dtype),
+            pltpu.SMEM((8 * BLOCK,), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    # Lane-pad the destination table: block b's 128 positions at
+    # [b*1024, b*1024+128) so each per-block SMEM fetch is one legal
+    # 1024-element i32 slice.
+    pos_padded = jnp.pad(
+        plan.slot_pos.reshape(-1, BLOCK),
+        ((0, 0), (0, 8 * BLOCK - BLOCK)),
+    ).reshape(-1)
+    striped = pl.pallas_call(
+        _make_adjoint_scatter_kernel(
+            ntx, ts, d_chunk, trans_eps, plan.T_padded, out_dtype,
+            plan.width, plan.height, feat_cols, mxu_prefix,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (r_striped + 1, 8, 128), out_dtype
+        ),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(
+        plan.tile_starts, plan.tile_ends, plan.padded_starts,
+        geom, pos_padded, feat_tiles,
+    )
+    return striped
+
+
+def _make_masked_stripe_kernel(d_out: int, stripe_meta):
+    """Sequential stripe sum over the scatter-written striped buffer.
+    stripe_meta: ((base_row, cap_pad, cover_j), ...) with caps monotone
+    nonincreasing, so a column block's live stripes form a prefix.
+    Striped rows beyond a column's culled cover were never written —
+    masked by `culled > j` (select, so HBM garbage incl. NaN is inert)."""
+    S = len(stripe_meta)
+
+    def kernel(striped_hbm, culled_ref, out_ref, buf, sem):
+        col = pl.program_id(0) * BLOCK
+        out_ref[:] = jnp.zeros((BLOCK, d_out), jnp.float32)
+        cull = culled_ref[...]  # (BLOCK, 1) i32
+
+        def dma(slot, s):
+            return pltpu.make_async_copy(
+                striped_hbm.at[pl.ds(stripe_meta[s][0] + col, BLOCK), :],
+                buf.at[slot],
+                sem.at[slot],
+            )
+
+        @pl.when(col < stripe_meta[0][1])
+        def _():
+            dma(0, 0).start()
+
+        for s in range(S):
+            slot = s % 2
+            if s + 1 < S:
+
+                @pl.when(col < stripe_meta[s + 1][1])
+                def _(s=s, slot=slot):
+                    dma(1 - slot, s + 1).start()
+
+            @pl.when(col < stripe_meta[s][1])
+            def _(s=s, slot=slot):
+                dma(slot, s).wait()
+                keep = cull > stripe_meta[s][2]
+                x = buf[slot][:, :d_out].astype(jnp.float32)
+                out_ref[:] += jnp.where(keep, x, 0.0)
+
+    return kernel
+
+
+def reduce_striped_pallas(
+    striped: jax.Array,  # (R_striped + 1, 8, 128) from the scatter adjoint
+    plan: PallasPlan,
+    d_out: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """Per-Gaussian sums from the scatter-written striped buffer:
+    NO gather — every striped byte is read once, sequentially, by the
+    masked stripe-sum kernel. Returns (N, d_out) f32 in ORIGINAL
+    Gaussian order (same contract as :func:`reduce_contribs_pallas`)."""
+    assert plan.culled is not None, "plan needs scatter=True"
+    n = plan.slots.shape[1]
+    n_pad = cdiv(max(n, 1), BLOCK) * BLOCK
+    stripe_meta, r_striped = _striped_layout(
+        plan.cover_caps, plan.cover_pad, n
+    )
+    striped2 = striped.reshape(r_striped + 1, DL_SCATTER)
+    culled = plan.culled
+    if n_pad != n:
+        culled = jnp.pad(culled, (0, n_pad - n))
+    acc = pl.pallas_call(
+        _make_masked_stripe_kernel(d_out, stripe_meta),
+        grid=(n_pad // BLOCK,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((BLOCK, 1), lambda i: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((BLOCK, d_out), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((n_pad, d_out), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, BLOCK, DL_SCATTER), striped.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(striped2, culled[:, None])
+    acc = acc[:n]
+    inv = jnp.zeros((n,), jnp.int32).at[plan.slot_order].set(
+        jnp.arange(n, dtype=jnp.int32)
+    )
+    return acc[inv]
+
+
 def reduce_contribs(
     contribs: jax.Array,  # (T_padded + BLOCK, D)
     plan: PallasPlan,
@@ -1914,6 +2372,23 @@ def backproject_view_pallas(
         chunk = feats if feat_tiles is not None else image_to_tiles(
             feats, plan.tile_size
         )
+        if reduce_engine == "scatter":
+            # Scatter-write adjoint: rows land in slot order, the reduce
+            # is a gather-free masked stripe sum (plan needs scatter=True).
+            striped = adjoint_scatter_pallas_raw(
+                geom,
+                chunk,
+                plan,
+                interpret=interpret,
+                trans_eps=trans_eps,
+                out_dtype=contrib_dtype,
+                d_chunk=d_chunk,
+                feat_cols=D,
+            )
+            red = reduce_striped_pallas(
+                striped, plan, d_out=d_chunk, interpret=interpret
+            )
+            return red[:, :D], red[:, D]
         contribs = adjoint_pallas_raw(
             geom,
             chunk,
